@@ -1,0 +1,16 @@
+"""Test bootstrap: force an 8-device virtual CPU mesh before JAX import.
+
+Tests never need the real TPU; sharding is validated on virtual CPU devices
+exactly as the driver's dryrun_multichip does.
+"""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
