@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark: mode-2 textual-inversion training throughput (imgs/sec/chip).
+
+Measures the full jit train step at the reference's mode-2 shapes
+(BASELINE.md: SD-1.5, batch 3, DTU preprocess key 1 -> 512x384 images ->
+48x64 latents, 16-layer NeTI text conditioning, UNet fwd+bwd, AdamW):
+frozen weights are randomly initialized (identical FLOPs/memory traffic to
+ported weights; no egress in this environment).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline normalizes against an estimated 6.0 imgs/sec for the reference
+CUDA implementation on A100 (batch 3 at ~2 it/s; the repo publishes no
+number — BASELINE.md §"published {}").
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compile cache: first XLA compile of the full train step takes
+# tens of minutes on this 1-core host; subsequent runs hit the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_compile"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+A100_IMGS_PER_SEC_EST = 6.0
+
+
+def main():
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    from view_neti_tpu.config import RunConfig, decode
+    from view_neti_tpu.tokenizer import FallbackTokenizer
+    from view_neti_tpu.training import builder
+    from view_neti_tpu.training.optim import (sliced_adamw, make_lr_schedule,
+                                              scaled_learning_rate)
+    from view_neti_tpu.training.train_step import TrainBatch, make_train_step
+    from view_neti_tpu.data import dtu as dtu_mod
+
+    B = 3
+    if tiny:
+        arch = builder.tiny_arch()
+        H, W = 16, 16
+        tok = FallbackTokenizer(base_vocab_size=512)
+    else:
+        arch = None  # resolve SD-1.5
+        H, W = 384, 512
+        tok = FallbackTokenizer()
+
+    cfg = decode(RunConfig, {
+        "learnable_mode": 2,
+        "model": {"arch_view_net": 15, "arch_view_disable_tl": False,
+                  "word_embedding_dim": 32 if tiny else 768,
+                  "pretrained_model_name_or_path":
+                      "runwayml/stable-diffusion-v1-5",
+                  "normalize_view_mapper_output": True,
+                  "output_bypass_alpha_view": 5.0,
+                  "pe_sigma_exp_key": 2},
+        "data": {"camera_representation": "dtu-12d", "dtu_subset": 6},
+        "optim": {"mixed_precision": "bf16"},
+    })
+
+    # synthetic DTU camera tokens for the 6-view subset
+    rng_np = np.random.RandomState(0)
+    view_tokens = [
+        dtu_mod.dtu_cam_params_to_token(
+            rng_np.randn(3, 4).astype(np.float32) * 100, i)
+        for i in dtu_mod.dtu_get_train_idxs(6)]
+    import tempfile
+    caldir = tempfile.mkdtemp()
+    for i in range(1, 65):
+        m = rng_np.randn(3, 4) * 100
+        with open(os.path.join(caldir, f"pos_{i:03d}.txt"), "w") as f:
+            f.write("\n".join(" ".join(f"{x:.4f}" for x in r) for r in m))
+
+    built = builder.build_models(
+        cfg, tok, view_tokens, ["<skull>"], arch=arch,
+        compute_dtype=jnp.bfloat16, calibration_dir=caldir)
+
+    lr = scaled_learning_rate(1e-3, True, B, 3, 1)
+    sched = make_lr_schedule("constant", lr, 0, 3000)
+    opt = sliced_adamw(sched)
+    opt_state = opt.init(built.trainable)
+    step = jax.jit(make_train_step(built.frozen, opt,
+                                   compute_dtype=jnp.bfloat16),
+                   donate_argnums=(0, 1))
+
+    # synthetic batch at mode-2 shapes
+    view_id = built.placeholder_view_token_ids[0]
+    obj_id = built.placeholder_object_token_ids[0]
+    L = built.arch.text.max_position_embeddings
+    ids = np.full((B, L), tok.eos_token_id, np.int32)
+    ids[:, 0] = tok.bos_token_id
+    ids[:, 1] = view_id
+    ids[:, 2:7] = 100
+    ids[:, 7] = obj_id
+    batch = TrainBatch(
+        pixel_values=jnp.asarray(
+            rng_np.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)),
+        input_ids=jnp.asarray(ids),
+        input_ids_placeholder_object=jnp.full((B,), obj_id, jnp.int32),
+        input_ids_placeholder_view=jnp.full((B,), view_id, jnp.int32),
+        object_idx=jnp.asarray(0, jnp.int32))
+
+    trainable = built.trainable
+    rng = jax.random.PRNGKey(0)
+
+    # warmup (compile)
+    t_c0 = time.time()
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        trainable, opt_state, metrics = step(trainable, opt_state, batch, sub)
+    jax.block_until_ready(metrics["total_loss"])
+    compile_s = time.time() - t_c0
+
+    t0 = time.time()
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        trainable, opt_state, metrics = step(trainable, opt_state, batch, sub)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.time() - t0
+
+    imgs_per_sec = B * steps / dt
+    print(json.dumps({
+        "metric": "imgs/sec/chip mode-2 SD-1.5 TI train (512x384, bf16)",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_IMGS_PER_SEC_EST, 3),
+    }))
+    print(f"# backend={jax.default_backend()} compile_s={compile_s:.1f} "
+          f"step_ms={1000 * dt / steps:.1f} "
+          f"loss={float(metrics['total_loss']):.4f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Aggregate saved DTU inference results into a CSV.
+
+Parity with /root/reference/scripts/summarize_dtu.py:1-90: recomputes
+PSNR/SSIM/LPIPS per seed from the saved results bundles across scans and
+writes a summary CSV. The reference's filename mismatch bug
+(summarize_dtu.py:57 vs inference.py:135, SURVEY.md §3.5) is avoided by
+globbing.
+
+Usage:
+  python scripts/summarize_dtu.py --results_dirs outputs/scan* \
+      --iteration 3000 --out results/summarize_dtu.csv
+"""
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results_dirs", type=Path, nargs="+", required=True)
+    ap.add_argument("--iteration", type=int, required=True)
+    ap.add_argument("--out", type=Path,
+                    default=Path("results/summarize_dtu.csv"))
+    ap.add_argument("--do_lpips", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import pandas as pd
+    from flax import serialization
+    from view_neti_tpu.ops import metrics as M
+
+    lpips_fn = None
+    if args.do_lpips:
+        from view_neti_tpu.ops.metrics import make_lpips
+        lpips_fn = make_lpips()
+
+    rows = []
+    for d in args.results_dirs:
+        matches = sorted(d.glob(f"results_all_iter_{args.iteration}*"))
+        if not matches:
+            print(f"warn: no results bundle in {d}")
+            continue
+        bundle = serialization.msgpack_restore(matches[0].read_bytes())
+        preds = np.asarray(bundle["imgs_pred"])     # (S, bs, h, w, 3)
+        gt = np.asarray(bundle["imgs_gt"])          # (bs, h, w, 3)
+        masks = np.asarray(bundle["masks"])
+        for si in range(preds.shape[0]):
+            p = preds[si]
+            mse = np.asarray(M.masked_mse(jnp.asarray(p), jnp.asarray(gt),
+                                          jnp.asarray(masks)))
+            psnr = np.asarray(M.psnr_from_mse(jnp.asarray(mse)))
+            ssim = np.asarray(M.ssim(jnp.asarray(p * masks),
+                                     jnp.asarray(gt * masks)))
+            lpips = (np.asarray(lpips_fn(
+                jnp.asarray(p * masks) * 2 - 1,
+                jnp.asarray(gt * masks) * 2 - 1))
+                if lpips_fn else np.zeros_like(ssim))
+            rows.append(dict(scan=d.name, seed=si, mse=mse.mean(),
+                             psnr=psnr.mean(), ssim=ssim.mean(),
+                             lpips=lpips.mean()))
+    df = pd.DataFrame(rows)
+    summary = df.groupby("seed")[["mse", "psnr", "ssim", "lpips"]].mean()
+    print(summary)
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(args.out, index=False)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,10 +7,24 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the environment pins JAX_PLATFORMS=axon (real TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Persistent compilation cache: the host has one CPU core, so XLA compiles
+# dominate test wall-clock; cache them across runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# The axon sitecustomize force-registers the TPU backend in every process
+# (ignoring JAX_PLATFORMS), so pin the default device to CPU explicitly —
+# tests must never touch the tunneled TPU (single shared lease; concurrent
+# users appear hung).
+jax.config.update("jax_default_device", jax.devices("cpu")[0])

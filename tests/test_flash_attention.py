@@ -1,0 +1,82 @@
+"""Flash-attention kernel vs jnp reference (interpret mode on CPU; the same
+code path compiles natively on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from view_neti_tpu.ops.attention import mha_jnp
+from view_neti_tpu.ops import flash_attention as fa
+
+
+def _rand_qkv(B=1, Lq=256, Lk=256, H=2, d=32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, Lq, H, d), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Lk, H, d), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Lk, H, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("Lq,Lk,d", [
+    (256, 256, 32),    # self-attention shape class
+    (128, 77, 32),     # cross-attention (Lk padded to 128 inside)
+    (64, 64, 40),      # SD1.5 head dim 40
+])
+def test_forward_matches_reference(Lq, Lk, d):
+    q, k, v = _rand_qkv(Lq=Lq, Lk=Lk, d=d)
+    ref = mha_jnp(q, k, v)
+    out = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_forward_multi_kblock():
+    """KV streamed over several in-kernel blocks."""
+    q, k, v = _rand_qkv(Lq=128, Lk=512, d=32)
+    ref = mha_jnp(q, k, v)
+    out = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_backward_matches_reference():
+    q, k, v = _rand_qkv(Lq=128, Lk=128, d=32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, block_q=128,
+                                          block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_jnp(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_backward_padded_kv():
+    """Gradients must be exact with a masked/padded KV length (77 -> 128)."""
+    q, k, v = _rand_qkv(Lq=64, Lk=77, d=32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, block_q=64,
+                                          block_k=128) * 0.1) ** 2
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_jnp(q, k, v) * 0.1) ** 2
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_pick_block():
+    assert fa._pick_block(4096, 256) == 256
+    assert fa._pick_block(77, 256) == 77
+    assert fa._pick_block(128, 256) == 128
+    # 320 has no 128-multiple divisor <= 256 -> whole-axis block
+    assert fa._pick_block(320, 256) == 320

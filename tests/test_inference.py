@@ -1,0 +1,191 @@
+"""Inference-path tests: PromptManager precompute, jitted denoise pipeline,
+weight-port mapping coverage."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from view_neti_tpu.config import RunConfig, decode
+from view_neti_tpu.tokenizer import FallbackTokenizer
+from view_neti_tpu.training import builder
+from view_neti_tpu.inference.prompt_manager import PromptManager
+from view_neti_tpu.inference.pipeline import (make_denoise_fn, generate,
+                                              encode_uncond)
+from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
+
+
+@pytest.fixture(scope="module")
+def built_mode0():
+    cfg = decode(RunConfig, {
+        "learnable_mode": 0,
+        "model": {"arch_view_net": 15, "word_embedding_dim": 32}})
+    tok = FallbackTokenizer(base_vocab_size=512)
+    built = builder.build_models(cfg, tok, [], ["<thing>"],
+                                 arch=builder.tiny_arch())
+    return cfg, tok, built
+
+
+class TestPromptManager:
+    def test_embed_prompt_shapes(self, built_mode0):
+        cfg, tok, built = built_mode0
+        text = built.frozen.text
+        schedule = DPMSolverSchedule()
+        ts = schedule.set_timesteps(4)
+        pm = PromptManager(
+            tok, text, built.trainable, ts,
+            placeholder_object_token_ids=built.
+            placeholder_object_token_ids)
+        ctx, ctx_b = pm.embed_prompt("a photo of a <thing>")
+        assert ctx.shape == (4, 16, 1, 16, 32)
+        assert ctx_b.shape == ctx.shape
+        # timestep axis must vary (mapper conditions on t)
+        assert not np.allclose(np.asarray(ctx[0]), np.asarray(ctx[-1]))
+
+    def test_placeholder_extraction_absent(self, built_mode0):
+        cfg, tok, built = built_mode0
+        pm = PromptManager(
+            tok, built.frozen.text, built.trainable, [999],
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        ctx, _ = pm.embed_prompt("a photo of a dog")   # no placeholder
+        assert np.isfinite(np.asarray(ctx)).all()
+
+
+class TestPipeline:
+    def test_generate_end_to_end(self, built_mode0):
+        cfg, tok, built = built_mode0
+        frozen = built.frozen
+        schedule = DPMSolverSchedule()
+        n_steps = 3
+        ts = schedule.set_timesteps(n_steps)
+        pm = PromptManager(
+            tok, frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        ctx, ctx_b = pm.embed_prompt("a photo of a <thing>")
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                        frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                        height=16, width=16, seeds=[0, 1],
+                        num_inference_steps=n_steps)
+        assert imgs.shape == (2, 16, 16, 3)
+        assert imgs.dtype == np.uint8
+        # different seeds -> different images
+        assert not np.array_equal(imgs[0], imgs[1])
+
+    def test_seed_determinism(self, built_mode0):
+        cfg, tok, built = built_mode0
+        frozen = built.frozen
+        schedule = DPMSolverSchedule()
+        n_steps = 2
+        ts = schedule.set_timesteps(n_steps)
+        pm = PromptManager(
+            tok, frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        ctx, ctx_b = pm.embed_prompt("a photo of a <thing>")
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        kw = dict(height=16, width=16, seeds=[7],
+                  num_inference_steps=n_steps)
+        a = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                     frozen.vae_vars, schedule, ctx, ctx_b, uncond, **kw)
+        b = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                     frozen.vae_vars, schedule, ctx, ctx_b, uncond, **kw)
+        np.testing.assert_array_equal(a, b)
+
+    def test_guidance_changes_output(self, built_mode0):
+        cfg, tok, built = built_mode0
+        frozen = built.frozen
+        schedule = DPMSolverSchedule()
+        ts = schedule.set_timesteps(2)
+        pm = PromptManager(
+            tok, frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        ctx, ctx_b = pm.embed_prompt("a photo of a <thing>")
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        outs = []
+        for g in (1.0, 7.5):
+            outs.append(generate(
+                frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
+                schedule, ctx, ctx_b, uncond, 16, 16, [0], 2,
+                guidance_scale=g))
+        assert not np.array_equal(outs[0], outs[1])
+
+
+class TestWeightPortMapping:
+    def test_unet_mapping_covers_param_tree(self, built_mode0):
+        """Every flax UNet param leaf must be reachable by some mapping
+        entry (so real SD weights can be ported)."""
+        from view_neti_tpu import weight_port
+        cfg, tok, built = built_mode0
+        flax_params = jax.device_get(built.frozen.unet_vars["params"])
+        mapping = weight_port.unet_mapping(num_blocks=4, layers_per_block=2)
+        covered = set()
+        for _, (path, _) in mapping.items():
+            covered.add(path)
+
+        def walk(tree, prefix=()):
+            missing = []
+            for k, v in tree.items():
+                p = prefix + (k,)
+                if isinstance(v, dict):
+                    missing += walk(v, p)
+                elif p not in covered:
+                    missing.append("/".join(p))
+            return missing
+
+        missing = walk(flax_params)
+        # conv_shortcut only exists where channels change; the mapping lists
+        # them all, but the flax tree only instantiates the needed ones —
+        # so coverage must be exact in this direction.
+        assert missing == [], f"unported UNet params: {missing[:8]}"
+
+    def test_clip_mapping_covers_param_tree(self, built_mode0):
+        from view_neti_tpu import weight_port
+        cfg, tok, built = built_mode0
+        flax_params = jax.device_get(
+            built.frozen.text.clip_vars["params"])
+        mapping = weight_port.clip_text_mapping(num_layers=2)
+        covered = {path for _, (path, _) in mapping.items()}
+
+        def walk(tree, prefix=()):
+            missing = []
+            for k, v in tree.items():
+                p = prefix + (k,)
+                if isinstance(v, dict):
+                    missing += walk(v, p)
+                elif p not in covered:
+                    missing.append("/".join(p))
+            return missing
+
+        missing = walk(flax_params)
+        assert missing == [], f"unported CLIP params: {missing[:8]}"
+
+    def test_vae_mapping_covers_param_tree(self, built_mode0):
+        from view_neti_tpu import weight_port
+        cfg, tok, built = built_mode0
+        flax_params = jax.device_get(built.frozen.vae_vars["params"])
+        mapping = weight_port.vae_mapping(num_blocks=2, layers_per_block=2)
+        covered = {path for _, (path, _) in mapping.items()}
+
+        def walk(tree, prefix=()):
+            missing = []
+            for k, v in tree.items():
+                p = prefix + (k,)
+                if isinstance(v, dict):
+                    missing += walk(v, p)
+                elif p not in covered:
+                    missing.append("/".join(p))
+            return missing
+
+        missing = walk(flax_params)
+        assert missing == [], f"unported VAE params: {missing[:8]}"
+
+    def test_transforms(self):
+        from view_neti_tpu import weight_port as wp
+        w = np.arange(12).reshape(3, 4).astype(np.float32)
+        np.testing.assert_array_equal(wp._linear_k(w), w.T)
+        conv = np.arange(2 * 3 * 3 * 3).reshape(2, 3, 3, 3).astype(
+            np.float32)
+        out = wp._conv_k(conv)
+        assert out.shape == (3, 3, 3, 2)

@@ -1,0 +1,250 @@
+"""Integration tests: builder -> text conditioning -> train step -> optim.
+
+Tiny architecture; exercises modes 0, 2 (joint Mv+Mo), 3 (bank selection),
+and 5 (frozen view mapper), plus dp-mesh sharding on the 8-device CPU mesh.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from view_neti_tpu.config import RunConfig, decode
+from view_neti_tpu.tokenizer import FallbackTokenizer
+from view_neti_tpu.data import dtu
+from view_neti_tpu.training import builder
+from view_neti_tpu.training.optim import (sliced_adamw, make_lr_schedule,
+                                          scaled_learning_rate)
+from view_neti_tpu.training.train_step import (TrainBatch, make_train_step,
+                                               jit_train_step)
+from view_neti_tpu.training.text_forward import neti_text_conditioning
+
+
+IMG = 16  # tiny arch: VAE downsamples 2x -> 8x8 latents
+
+
+def _dtu_view_tokens(n):
+    rng = np.random.RandomState(7)
+    return [dtu.dtu_cam_params_to_token(rng.randn(3, 4).astype(np.float32), i)
+            for i in range(n)]
+
+
+def _build(mode, n_obj=1, n_view=0, **cfg_overrides):
+    data = {"learnable_mode": mode,
+            "model": {"arch_view_net": 15, "arch_view_disable_tl": False,
+                      "word_embedding_dim": 32},
+            "data": {"camera_representation": "dtu-12d"}}
+    if mode in (4, 5):
+        # modes 4/5 require a pretrained view mapper reference; the builder
+        # initializes fresh when no checkpoint loading is requested
+        data["model"]["pretrained_view_mapper"] = "unused.msgpack"
+    if mode == 3:
+        data["data"]["super_category_object_tokens"] = ["object"] * n_obj
+        data["data"]["placeholder_object_tokens"] = [
+            f"<obj{i}>" for i in range(n_obj)]
+    for k, v in cfg_overrides.items():
+        data.setdefault(k, {}).update(v) if isinstance(v, dict) \
+            else data.__setitem__(k, v)
+    cfg = decode(RunConfig, data)
+    tok = FallbackTokenizer(base_vocab_size=512)  # match tiny_arch vocab
+    obj_tokens = ([f"<obj{i}>" for i in range(n_obj)]
+                  if mode == 3 else (["<thing>"] if mode != 1 else []))
+    view_tokens = _dtu_view_tokens(n_view) if n_view else []
+    # tiny calibration dir comes from the tokens themselves: monkeypatch via
+    # build_view_token_table's calibration_dir -> use the same params
+    arch = builder.tiny_arch()
+    calib = None
+    if n_view:
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        rng = np.random.RandomState(7)
+        for i in range(1, n_view + 1):
+            m = rng.randn(3, 4)
+            with open(os.path.join(d, f"pos_{i:03d}.txt"), "w") as f:
+                f.write("\n".join(" ".join(str(x) for x in r) for r in m))
+        calib = d
+    built = builder.build_models(cfg, tok, view_tokens, obj_tokens,
+                                 arch=arch, calibration_dir=calib)
+    return cfg, built
+
+
+def _batch(built, B=2, mode=0, object_idx=0):
+    tok = built.tokenizer
+    if built.placeholder_view_token_ids:
+        view_id = built.placeholder_view_token_ids[0]
+        obj_tok_id = built.placeholder_object_token_ids[object_idx]
+        view_tok = [t for t, i in zip(
+            built.view_table.tokens, built.view_table.token_ids)
+            if i == view_id][0]
+        obj_tok = [t for t in tok.added_tokens
+                   if tok.added_tokens[t] == obj_tok_id][0]
+        text = f"{view_tok}. A photo of a {obj_tok}"
+        ids = tok(text, padding="max_length", truncation=True,
+                  max_length=16).input_ids
+        ph_view = np.full((B,), view_id, np.int32)
+    else:
+        obj_tok_id = built.placeholder_object_token_ids[object_idx]
+        obj_tok = [t for t in tok.added_tokens
+                   if tok.added_tokens[t] == obj_tok_id][0]
+        ids = tok(f"a photo of a {obj_tok}", padding="max_length",
+                  truncation=True, max_length=16).input_ids
+        ph_view = np.full((B,), -1, np.int32)
+    ids = np.repeat(ids, B, axis=0)
+    rng = np.random.RandomState(0)
+    return TrainBatch(
+        pixel_values=jnp.asarray(
+            rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32)),
+        input_ids=jnp.asarray(ids),
+        input_ids_placeholder_object=jnp.full((B,), obj_tok_id, jnp.int32),
+        input_ids_placeholder_view=jnp.asarray(ph_view),
+        object_idx=jnp.asarray(object_idx, jnp.int32))
+
+
+def _optimizer(cfg, mode, total_steps=10):
+    lr = scaled_learning_rate(cfg.optim.learning_rate, cfg.optim.scale_lr,
+                              cfg.optim.train_batch_size,
+                              cfg.optim.gradient_accumulation_steps, 1)
+    sched = make_lr_schedule(cfg.optim.lr_scheduler, lr,
+                             cfg.optim.lr_warmup_steps, total_steps)
+    stacked, frozen = builder.trainable_mask_keys(mode)
+    return sliced_adamw(sched, cfg.optim.adam_beta1, cfg.optim.adam_beta2,
+                        cfg.optim.adam_epsilon, cfg.optim.adam_weight_decay,
+                        stacked_keys=stacked, frozen_keys=frozen)
+
+
+class TestTextConditioning:
+    def test_shapes_mode2(self):
+        cfg, built = _build(2, n_view=3)
+        batch = _batch(built, B=2)
+        ctx, ctx_b = neti_text_conditioning(
+            built.frozen.text, built.trainable,
+            batch.input_ids, batch.input_ids_placeholder_object,
+            batch.input_ids_placeholder_view,
+            timesteps=jnp.array([100., 500.]),
+            object_idx=batch.object_idx,
+            rng=jax.random.PRNGKey(0), train=True)
+        assert ctx.shape == (16, 2, 16, 32)
+        assert ctx_b.shape == (16, 2, 16, 32)
+        assert not np.allclose(np.asarray(ctx), np.asarray(ctx_b))
+
+    def test_layer_axis_varies(self):
+        """Different UNet layers must get different conditioning (the mapper
+        conditions on l)."""
+        cfg, built = _build(0)
+        batch = _batch(built, B=1)
+        ctx, _ = neti_text_conditioning(
+            built.frozen.text, built.trainable,
+            batch.input_ids, batch.input_ids_placeholder_object,
+            batch.input_ids_placeholder_view,
+            timesteps=jnp.array([500.]), object_idx=batch.object_idx,
+            train=False)
+        assert not np.allclose(np.asarray(ctx[0]), np.asarray(ctx[15]))
+
+
+class TestTrainStep:
+    def _run_steps(self, mode, n_obj=1, n_view=0, n_steps=3, object_idxs=None):
+        cfg, built = _build(mode, n_obj=n_obj, n_view=n_view)
+        opt = _optimizer(cfg, mode)
+        opt_state = opt.init(built.trainable)
+        step = jax.jit(make_train_step(built.frozen, opt),
+                       donate_argnums=(0, 1))
+        # the step donates its inputs; step on a copy so built.trainable
+        # stays live for before/after comparisons
+        trainable = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(n_steps):
+            rng, sub = jax.random.split(rng)
+            oi = object_idxs[i] if object_idxs else 0
+            batch = _batch(built, B=2, mode=mode, object_idx=oi)
+            trainable, opt_state, metrics = step(trainable, opt_state,
+                                                 batch, sub)
+            losses.append(float(metrics["total_loss"]))
+        return cfg, built, trainable, opt_state, losses
+
+    def test_mode0_object_updates(self):
+        cfg, built, trainable, _, losses = self._run_steps(0)
+        assert all(np.isfinite(losses))
+        before = built.trainable["object"]
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()), before,
+            trainable["object"])
+        assert sum(jax.tree_util.tree_leaves(diff)) > 0
+
+    def test_mode2_both_update(self):
+        cfg, built, trainable, _, losses = self._run_steps(2, n_view=3)
+        for key in ("object", "view"):
+            diff = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).sum()),
+                built.trainable[key], trainable[key])
+            assert sum(jax.tree_util.tree_leaves(diff)) > 0, key
+
+    def test_mode5_view_frozen(self):
+        cfg, built, trainable, _, _ = self._run_steps(5, n_view=3)
+        diff_view = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()),
+            built.trainable["view"], trainable["view"])
+        assert sum(jax.tree_util.tree_leaves(diff_view)) == 0
+        diff_obj = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()),
+            built.trainable["object"], trainable["object"])
+        assert sum(jax.tree_util.tree_leaves(diff_obj)) > 0
+
+    def test_mode3_only_selected_scene_updates(self):
+        cfg, built, trainable, _, _ = self._run_steps(
+            3, n_obj=3, n_view=3, n_steps=2, object_idxs=[1, 1])
+        obj_before = built.trainable["object"]
+        obj_after = trainable["object"]
+
+        def slice_diff(i):
+            d = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a[i] - b[i]).sum()),
+                obj_before, obj_after)
+            return sum(jax.tree_util.tree_leaves(d))
+
+        assert slice_diff(1) > 0
+        assert slice_diff(0) == 0 and slice_diff(2) == 0
+
+
+class TestMeshSharding:
+    def test_dp_mesh_step(self):
+        from view_neti_tpu.parallel import mesh as pmesh
+        cfg, built = _build(2, n_view=3)
+        m = pmesh.make_mesh(n_dp=4, n_tp=2, devices=jax.devices("cpu"))
+        rep = pmesh.replicated(m)
+        opt = _optimizer(cfg, 2)
+        opt_state = opt.init(built.trainable)
+        batch = _batch(built, B=4)
+        bs = pmesh.batch_shardings_for(batch, m)
+        step = jit_train_step(make_train_step(built.frozen, opt),
+                              mesh=m, batch_sharding=bs, replicated=rep)
+        trainable, opt_state, metrics = step(
+            built.trainable, opt_state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
+class TestGradAccum:
+    def test_multisteps_updates_every_k(self):
+        cfg, built = _build(0)
+        inner = _optimizer(cfg, 0)
+        opt = optax.MultiSteps(inner, every_k_schedule=3)
+        opt_state = opt.init(built.trainable)
+        step = jax.jit(make_train_step(built.frozen, opt),
+                       donate_argnums=(0, 1))
+        t0 = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        trainable = built.trainable
+        rng = jax.random.PRNGKey(0)
+        snapshots = []
+        for i in range(3):
+            rng, sub = jax.random.split(rng)
+            trainable, opt_state, _ = step(trainable, opt_state,
+                                           _batch(built, B=2), sub)
+            d = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).sum()), t0,
+                trainable)
+            snapshots.append(sum(jax.tree_util.tree_leaves(d)))
+        # no param change until the 3rd micro-batch
+        assert snapshots[0] == 0 and snapshots[1] == 0
+        assert snapshots[2] > 0

@@ -316,6 +316,11 @@ def encode(obj) -> Any:
 
 
 def _parse_scalar(s: str):
+    # YAML 1.1 boolifies yes/no/on/off — but "no" is a legal value for
+    # optim.mixed_precision (reference surface). Keep those as strings;
+    # bool fields still coerce them in _decode_value.
+    if s.lower() in ("yes", "no", "on", "off"):
+        return s
     try:
         return yaml.safe_load(s)
     except yaml.YAMLError:

@@ -1,0 +1,370 @@
+"""TextualInversionDataset: host-side example generation.
+
+Behavioral parity with /root/reference/training/dataset.py:39-739, rebuilt on
+numpy/PIL with explicit RNG. Emits fixed-shape numpy examples ready for
+device_put (NHWC float32 pixels in [-1, 1], int32 token ids).
+
+Modes (captions; reference training/dataset.py:61-80, 634-681):
+  0: "a photo of a <object>" (random IMAGENET template)
+  1: "<view_x>. A photo of a {fixed_object}" (+ caption_strategy 1/2)
+  2/4/5: "<view_x>. A photo of a <object>"
+  3: "<view_x>. A photo of a <object_y>" with per-accumulation scene sampling
+"""
+from __future__ import annotations
+
+import random as pyrandom
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+from PIL import Image, ImageOps
+
+from view_neti_tpu.constants import IMAGENET_TEMPLATES_SMALL
+from view_neti_tpu.data import dtu as dtu_mod
+from view_neti_tpu.data.augment import (apply_augmentations,
+                                        build_augmentations)
+from view_neti_tpu.utils.misc import filter_paths_imgs
+
+_PIL_INTERP = {
+    "linear": Image.Resampling.BILINEAR,
+    "bilinear": Image.Resampling.BILINEAR,
+    "bicubic": Image.Resampling.BICUBIC,
+    "lanczos": Image.Resampling.LANCZOS,
+    "nearest": Image.Resampling.NEAREST,
+}
+
+
+class TextualInversionDataset:
+    def __init__(self,
+                 data_root: Union[str, Path],
+                 tokenizer,
+                 camera_representation: str,
+                 learnable_mode: int,
+                 train_data_subsets: Optional[Sequence[Path]] = None,
+                 placeholder_object_tokens: Optional[List[str]] = None,
+                 fixed_object_token_or_path: Optional[str] = None,
+                 size: int = 768,
+                 repeats: int = 100,
+                 interpolation: str = "bicubic",
+                 flip_p: float = 0.0,
+                 set_name: str = "train",
+                 placeholder_object_token: str = "*",
+                 dtu_lighting: str = "3",
+                 dtu_subset: int = 0,
+                 caption_strategy: int = 0,
+                 dtu_preprocess_key: int = 0,
+                 augmentation_key: int = 0,
+                 center_crop: bool = False,
+                 calibration_dir: Optional[str] = None,
+                 seed: int = 0):
+        self.learnable_mode = learnable_mode
+        self.data_root = Path(data_root)
+        self.tokenizer = tokenizer
+        self.size = size
+        self.placeholder_object_token = placeholder_object_token
+        self.center_crop = center_crop
+        self.flip_p = flip_p if learnable_mode == 0 else 0.0
+        self.train_data_subsets = ([str(s) for s in train_data_subsets]
+                                   if train_data_subsets else None)
+        self.camera_representation = camera_representation
+        self.dtu_lighting = str(dtu_lighting)
+        self.dtu_subset = dtu_subset
+        self.dtu_preprocess_key = dtu_preprocess_key
+        self.caption_strategy = caption_strategy
+        self.calibration_dir = calibration_dir
+        self.rng = np.random.default_rng(seed)
+        self.pyrng = pyrandom.Random(seed)
+        self.interpolation = _PIL_INTERP[interpolation]
+        self.templates = IMAGENET_TEMPLATES_SMALL
+
+        if self.caption_strategy > 0:
+            assert learnable_mode == 1, \
+                "alt caption_strategy only implemented for mode 1"
+
+        # ---- image paths ---------------------------------------------------
+        if learnable_mode != 3:
+            paths = filter_paths_imgs(sorted(self.data_root.glob("*")))
+            if (self.camera_representation == "dtu-12d"
+                    and learnable_mode != 0):
+                paths = dtu_mod.dtu_filter_fnames_lighting(
+                    paths, self.dtu_lighting)
+                idxs = dtu_mod.dtu_get_train_idxs(dtu_subset)
+                paths = dtu_mod.dtu_filter_image_paths_from_idx(paths, idxs)
+            self.image_paths = paths
+            self.image_paths_flattened = paths
+            self.num_images = len(paths)
+        else:
+            self.image_paths = {}
+            for subdir in self.train_data_subsets:
+                paths = filter_paths_imgs(
+                    sorted((self.data_root / subdir).glob("*")))
+                if self.camera_representation == "dtu-12d":
+                    paths = dtu_mod.dtu_filter_fnames_lighting(
+                        paths, self.dtu_lighting)
+                    idxs = dtu_mod.dtu_get_train_idxs(dtu_subset)
+                    paths = dtu_mod.dtu_filter_image_paths_from_idx(
+                        paths, idxs)
+                assert len(paths) > 0, f"no images in subset {subdir}"
+                self.image_paths[subdir] = paths
+            self.image_paths_flattened = [
+                p for row in self.image_paths.values() for p in row]
+            self.num_images = len(self.image_paths_flattened)
+            self.current_object_idx = int(
+                self.rng.integers(len(self.train_data_subsets)))
+
+        assert self.num_images > 0, \
+            "no images found; check data.train_data_dir"
+        self._length = self.num_images * (repeats if set_name == "train"
+                                          else 1)
+
+        # ---- placeholder tokens --------------------------------------------
+        self.fixed_object_token_pretrained = False
+        if learnable_mode == 0:
+            self.placeholder_object_tokens = [placeholder_object_token]
+            self.placeholder_view_tokens: List[str] = []
+            self.fixed_object_token = None
+        elif learnable_mode in (1, 2, 3, 4, 5):
+            if learnable_mode in (3, 4, 5):
+                assert camera_representation == "dtu-12d", \
+                    "modes 3/4/5 verified only on DTU"
+            self.placeholder_view_tokens = self._generate_view_tokens()
+            self.placeholder_view_tokens = self._order_view_tokens(
+                self.placeholder_view_tokens)
+            if (fixed_object_token_or_path is not None
+                    and str(fixed_object_token_or_path).endswith(
+                        (".pt", ".msgpack"))):
+                # pretrained object mapper: placeholder token comes from cfg
+                self.fixed_object_token_pretrained = True
+                self.fixed_object_token = placeholder_object_token
+                self.placeholder_object_tokens = [placeholder_object_token]
+            elif learnable_mode == 1:
+                self.fixed_object_token = fixed_object_token_or_path
+                self.placeholder_object_tokens = []
+            elif learnable_mode in (2, 4, 5):
+                self.fixed_object_token = None
+                self.placeholder_object_tokens = [placeholder_object_token]
+            else:  # mode 3
+                self.fixed_object_token = None
+                self.placeholder_object_tokens = list(
+                    placeholder_object_tokens)
+                self.lookup_object_to_placeholder_object_token = {
+                    str(s): t for s, t in zip(self.train_data_subsets,
+                                              self.placeholder_object_tokens)}
+        else:
+            raise ValueError(f"learnable_mode {learnable_mode}")
+
+        self.placeholder_tokens = (self.placeholder_view_tokens
+                                   + self.placeholder_object_tokens)
+
+        # ---- augmentations ---------------------------------------------------
+        self.augmentation_key = augmentation_key
+        self.augmentations = None
+        if augmentation_key > 0:
+            if learnable_mode == 0:
+                aug_size = (self.size, self.size)
+            elif dtu_preprocess_key == 0:
+                aug_size = (512, 512)
+            elif dtu_preprocess_key == 1:
+                aug_size = (384, 512)   # (h, w)
+            else:
+                aug_size = (576, 768)
+            self.augmentations = build_augmentations(augmentation_key,
+                                                     aug_size)
+
+    # ---- view-token generation (reference dataset.py:411-453) ------------
+    def _generate_view_tokens(self) -> List[str]:
+        if self.camera_representation == "spherical":
+            prefixes = [Path(f).stem.split("___")[-1]
+                        for f in self.image_paths]
+            assert all(len(p.split("_")) == 3 for p in prefixes)
+            return sorted(set(f"<view_{p}>" for p in prefixes))
+        if self.camera_representation == "dtu-12d":
+            kwargs = {}
+            if self.calibration_dir is not None:
+                kwargs["calibration_dir"] = self.calibration_dir
+            (self.lookup_camidx_to_view_token,
+             self.lookup_camidx_to_cam_params
+             ) = dtu_mod.dtu_generate_dset_cam_tokens_params(**kwargs)
+            self.lookup_view_token_to_camidx = {
+                v: k for k, v in self.lookup_camidx_to_view_token.items()}
+            paths = (self.image_paths if self.learnable_mode != 3
+                     else self.image_paths_flattened)
+            cam_idxs = sorted(set(
+                dtu_mod.dtu_cam_info_from_fname(f)[0] for f in paths))
+            return [self.lookup_camidx_to_view_token[k] for k in cam_idxs]
+        raise NotImplementedError(self.camera_representation)
+
+    def _order_view_tokens(self, tokens: List[str]) -> List[str]:
+        """Order tokens for consistent validation sweeps (reference
+        dataset.py:524-582)."""
+        if self.camera_representation == "dtu-12d":
+            keys = sorted(self.lookup_view_token_to_camidx[t] for t in tokens)
+            return [self.lookup_camidx_to_view_token[k] for k in keys]
+        # spherical: sort by phi when only phi varies; else keep order
+        from view_neti_tpu.utils.codec import string_to_num
+        params = np.asarray([[string_to_num(n) for n in t[6:-1].split("_")]
+                             for t in tokens])
+        n_uniques = [len(np.unique(params[:, i])) for i in range(3)]
+        if n_uniques[0] == 1 and n_uniques[1] > 1 and n_uniques[2] == 1:
+            order = np.argsort(params[:, 1])
+            return [tokens[i] for i in order]
+        return tokens
+
+    # ---- mode-3 scene resampling (reference dataset.py:584-600) ------------
+    def reset_sampled_object(self) -> None:
+        assert self.learnable_mode == 3
+        self.current_object_idx = int(
+            self.rng.integers(len(self.train_data_subsets)))
+
+    def __len__(self) -> int:
+        return self._length
+
+    # ---- example construction (reference dataset.py:605-739) --------------
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        if self.learnable_mode != 3:
+            image_paths = self.image_paths
+            placeholder_object_token = (self.placeholder_object_tokens[0]
+                                        if self.placeholder_object_tokens
+                                        else None)
+            idx = i % self.num_images
+        else:
+            current = self.train_data_subsets[self.current_object_idx]
+            image_paths = self.image_paths[current]
+            placeholder_object_token = \
+                self.lookup_object_to_placeholder_object_token[current]
+            idx = i % len(image_paths)
+
+        image_path = Path(image_paths[idx])
+        image = Image.open(image_path)
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+
+        example: Dict[str, Any] = {"image_idx": idx}
+        template = self.pyrng.choice(self.templates)
+
+        if self.learnable_mode == 0:
+            example["text"] = template.format(placeholder_object_token)
+            example["input_ids_placeholder_view"] = np.int32(-1)
+            example["input_ids_placeholder_object"] = np.int32(
+                self.tokenizer.convert_tokens_to_ids(
+                    placeholder_object_token))
+        else:
+            if self.camera_representation == "spherical":
+                view_token = f"<view_{image_path.stem.split('___')[-1]}>"
+            else:
+                cam_key, _ = dtu_mod.dtu_cam_info_from_fname(image_path)
+                view_token = self.lookup_camidx_to_view_token[cam_key]
+            assert view_token in self.placeholder_view_tokens
+
+            if self.learnable_mode == 1:
+                obj = self.fixed_object_token
+                if self.caption_strategy == 0:
+                    text = f"{view_token}. A photo of a {obj}"
+                elif self.caption_strategy == 1:
+                    text = f"A photo of a {obj} in the stye of {view_token}"
+                elif self.caption_strategy == 2:
+                    text = f"A photo of a {obj} {view_token}"
+                else:
+                    raise NotImplementedError(self.caption_strategy)
+                if self.fixed_object_token_pretrained:
+                    example["input_ids_placeholder_object"] = np.int32(
+                        self.tokenizer.convert_tokens_to_ids(
+                            placeholder_object_token))
+                else:
+                    example["input_ids_placeholder_object"] = np.int32(-1)
+            else:
+                text = (f"{view_token}. A photo of a "
+                        f"{placeholder_object_token}")
+                example["input_ids_placeholder_object"] = np.int32(
+                    self.tokenizer.convert_tokens_to_ids(
+                        placeholder_object_token))
+            example["text"] = text
+            example["input_ids_placeholder_view"] = np.int32(
+                self.tokenizer.convert_tokens_to_ids(view_token))
+
+        example["input_ids"] = self.tokenizer(
+            example["text"], padding="max_length", truncation=True,
+            max_length=self.tokenizer.model_max_length).input_ids[0]
+        if self.learnable_mode == 3:
+            example["object_idx"] = np.int32(self.current_object_idx)
+        else:
+            example["object_idx"] = np.int32(0)
+
+        example["pixel_values"] = self._process_image(image)
+        return example
+
+    def _process_image(self, image: Image.Image) -> np.ndarray:
+        img = np.array(image).astype(np.uint8)
+        if self.center_crop:
+            crop = min(img.shape[0], img.shape[1])
+            h, w = img.shape[0], img.shape[1]
+            img = img[(h - crop) // 2:(h + crop) // 2,
+                      (w - crop) // 2:(w + crop) // 2]
+        image = Image.fromarray(img)
+
+        if "dtu" in str(self.data_root):
+            if self.dtu_preprocess_key == 0:
+                image = ImageOps.expand(image, (0, 0, 0, 400), fill="black")
+                assert image.size == (1600, 1600), image.size
+                image = image.resize((512, 512), resample=self.interpolation)
+            elif self.dtu_preprocess_key == 1:
+                image = image.resize((512, 384), resample=self.interpolation)
+            elif self.dtu_preprocess_key == 2:
+                image = image.resize((768, 576), resample=self.interpolation)
+            else:
+                raise NotImplementedError(self.dtu_preprocess_key)
+        elif "llff" in str(self.data_root):
+            pass
+        else:
+            image = image.resize((self.size, self.size),
+                                 resample=self.interpolation)
+
+        img_size = image.size
+        if self.learnable_mode == 0 and self.rng.uniform() < self.flip_p:
+            image = ImageOps.mirror(image)
+        if self.augmentations is not None:
+            image = apply_augmentations(image, self.augmentations, self.rng)
+            assert image.size == img_size
+
+        arr = np.asarray(image, dtype=np.uint8)
+        arr = (arr / 127.5 - 1.0).astype(np.float32)
+        return arr  # NHWC (the reference permutes to CHW for torch)
+
+
+class DataLoader:
+    """Minimal shuffling batcher with numpy collation.
+
+    Replaces torch DataLoader (reference coach.py:704-725). Runs in-process:
+    the TPU step dominates wall-clock and examples are small; heavy image
+    decode can be pushed to the native C++ extension when present.
+    """
+
+    def __init__(self, dataset: TextualInversionDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = (self.rng.permutation(n) if self.shuffle
+                 else np.arange(n))
+        for start in range(0, n - (self.batch_size - 1 if self.drop_last
+                                   else 0), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            examples = [self.dataset[int(i)] for i in idxs]
+            yield self._collate(examples)
+
+    @staticmethod
+    def _collate(examples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        batch = {}
+        for k in ("pixel_values", "input_ids",
+                  "input_ids_placeholder_object",
+                  "input_ids_placeholder_view"):
+            batch[k] = np.stack([e[k] for e in examples])
+        batch["object_idx"] = np.asarray(examples[0]["object_idx"])
+        batch["texts"] = [e["text"] for e in examples]
+        return batch

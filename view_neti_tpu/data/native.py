@@ -1,0 +1,80 @@
+"""ctypes bindings for the native image-processing library (native/).
+
+Optional fast path for the host-side data pipeline on the 1-core TPU VM:
+when native/libimageproc.so is built (make -C native), resize / normalize /
+flip run through C++; otherwise callers fall back to PIL/numpy. The
+framework's numerics do not depend on which path is used (both are
+resize+normalize; bit-exactness with PIL is not required and not promised).
+"""
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / \
+    "libimageproc.so"
+_lib = None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.resize_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                              u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.normalize_f32.argtypes = [u8p, f32p, ctypes.c_int64]
+    lib.hflip_u8.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def resize(img: np.ndarray, height: int, width: int,
+           mode: str = "bicubic") -> np.ndarray:
+    """uint8 HWC resize. mode in {bilinear, bicubic}."""
+    lib = load_library()
+    assert lib is not None, "native library not built (make -C native)"
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((height, width, c), np.uint8)
+    lib.resize_u8(_u8ptr(img), h, w, c, _u8ptr(out), height, width,
+                  1 if mode == "bicubic" else 0)
+    return out
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 in [-1, 1]."""
+    lib = load_library()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty(img.shape, np.float32)
+    lib.normalize_f32(_u8ptr(img),
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      img.size)
+    return out
+
+
+def hflip(img: np.ndarray) -> np.ndarray:
+    lib = load_library()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty_like(img)
+    h, w, c = img.shape
+    lib.hflip_u8(_u8ptr(img), _u8ptr(out), h, w, c)
+    return out

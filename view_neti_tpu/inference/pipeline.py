@@ -1,0 +1,120 @@
+"""Jitted Stable Diffusion denoise pipeline with per-timestep NeTI contexts.
+
+Parity with /root/reference/sd_pipeline_call.py:8-148 — CFG with uncond
+embeddings from the plain text-encoder path, per-step prompt embeddings,
+DPM-Solver++ stepping — redesigned TPU-first:
+
+  * the whole denoise loop is ONE jit (lax.fori_loop), latents donated;
+  * the CFG pair is fused into the batch dimension (the reference runs two
+    sequential UNet calls per step, sd_pipeline_call.py:78-94);
+  * per-timestep contexts are a stacked (T, 16, B, L, D) array indexed by
+    the loop counter (the reference threads a list of dicts).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
+
+
+def make_denoise_fn(unet, unet_vars, schedule: DPMSolverSchedule,
+                    num_inference_steps: int, guidance_scale: float = 7.5,
+                    compute_dtype=jnp.float32):
+    """Build the jitted denoise loop.
+
+    Returns fn(latents0, context, context_bypass, uncond_ctx) -> latents
+      latents0: (N, h, w, 4) initial noise
+      context/context_bypass: (T, 16, 1, L, D) per-step NeTI conditioning
+      uncond_ctx: (1, L, D) negative-prompt hidden states
+    """
+    timesteps = schedule.set_timesteps(num_inference_steps)
+    coeffs = schedule.coefficients(timesteps)
+    ts = jnp.asarray(timesteps, jnp.float32)
+    do_cfg = guidance_scale > 1.0
+
+    def denoise(latents, context, context_bypass, uncond_ctx):
+        N = latents.shape[0]
+        n_layers = context.shape[1]
+        uncond = jnp.broadcast_to(
+            uncond_ctx[None, :, :, :],
+            (n_layers,) + uncond_ctx.shape).astype(compute_dtype)
+        uncond = jnp.broadcast_to(
+            uncond[:, :1], (n_layers, N) + uncond_ctx.shape[1:])
+
+        def body(i, carry):
+            lat, x0_prev = carry
+            t = jnp.full((N,), ts[i])
+            ctx = jnp.broadcast_to(
+                context[i][:, :1], (n_layers, N) + context.shape[3:]
+            ).astype(compute_dtype)
+            ctx_b = jnp.broadcast_to(
+                context_bypass[i][:, :1],
+                (n_layers, N) + context.shape[3:]).astype(compute_dtype)
+            if do_cfg:
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                ctx_cat = jnp.concatenate([uncond, ctx], axis=1)
+                ctx_b_cat = jnp.concatenate([uncond, ctx_b], axis=1)
+                eps2 = unet.apply(unet_vars, lat2.astype(compute_dtype), t2,
+                                  ctx_cat, ctx_b_cat)
+                eps_u, eps_c = jnp.split(eps2.astype(jnp.float32), 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                eps = unet.apply(unet_vars, lat.astype(compute_dtype), t,
+                                 ctx, ctx_b).astype(jnp.float32)
+            new_lat, x0 = schedule.step(eps, i, lat, x0_prev, coeffs,
+                                        num_inference_steps)
+            return new_lat, x0
+
+        latents = latents.astype(jnp.float32)
+        out, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                   (latents, jnp.zeros_like(latents)))
+        return out
+
+    return jax.jit(denoise, donate_argnums=(0,))
+
+
+def generate(unet, unet_vars, vae, vae_vars, schedule: DPMSolverSchedule,
+             context: jnp.ndarray, context_bypass: jnp.ndarray,
+             uncond_ctx: jnp.ndarray, height: int, width: int,
+             seeds, num_inference_steps: int = 30,
+             guidance_scale: float = 7.5,
+             compute_dtype=jnp.float32,
+             denoise_fn=None) -> np.ndarray:
+    """Full text-to-image generation. Returns (S, H, W, 3) uint8 images,
+    one per seed (reference eval protocol: fixed seeds per view,
+    validate.py / inference_dtu.py)."""
+    from view_neti_tpu.models.vae import AutoencoderKL
+    if denoise_fn is None:
+        denoise_fn = make_denoise_fn(unet, unet_vars, schedule,
+                                     num_inference_steps, guidance_scale,
+                                     compute_dtype)
+    # spatial scale follows the VAE's downsampling depth (8x for SD)
+    scale = 2 ** (len(vae.config.channel_mults) - 1)
+    h, w = height // scale, width // scale
+    lat0 = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(int(s)), (h, w, 4),
+                          jnp.float32)
+        for s in seeds])
+    latents = denoise_fn(lat0, context, context_bypass, uncond_ctx)
+    imgs = vae.apply(vae_vars, latents.astype(compute_dtype),
+                     method=AutoencoderKL.decode)
+    imgs = np.asarray(jnp.clip(
+        imgs.astype(jnp.float32) / 2 + 0.5, 0, 1))
+    return (imgs * 255).round().astype(np.uint8)
+
+
+def encode_uncond(clip, clip_vars, tokenizer, negative_prompt: str = "",
+                  max_length: Optional[int] = None) -> jnp.ndarray:
+    """Negative-prompt hidden states via the plain CLIP path (reference
+    sd_pipeline_call.py:36-41, 136-148)."""
+    L = max_length or clip_vars["params"]["position_embedding"].shape[0]
+    ids = tokenizer(negative_prompt or "", padding="max_length",
+                    truncation=True, max_length=L).input_ids
+    hidden, _, _, _ = clip.apply(clip_vars, jnp.asarray(ids, jnp.int32))
+    return hidden

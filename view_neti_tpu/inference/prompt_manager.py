@@ -1,0 +1,88 @@
+"""PromptManager: precompute per-(timestep, UNet-layer) text conditioning.
+
+Parity with /root/reference/prompt_manager.py:13-101, vectorized: the
+reference loops timesteps x 16 layers = 480-800 sequential text-encoder
+calls; here all (T, 16) pairs fold into batched forwards (chunked over T to
+bound memory), returning stacked arrays:
+
+  context:        (T, 16, B, L, D)
+  context_bypass: (T, 16, B, L, D)
+
+which the jitted denoise loop indexes by step.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from view_neti_tpu.constants import NUM_UNET_LAYERS
+from view_neti_tpu.training.text_forward import (TextModels,
+                                                 neti_text_conditioning)
+
+
+class PromptManager:
+    def __init__(self, tokenizer, text_models: TextModels, trainable,
+                 timesteps: Sequence[int],
+                 placeholder_view_token_ids: Sequence[int] = (),
+                 placeholder_object_token_ids: Sequence[int] = (),
+                 dtype=jnp.float32):
+        self.tokenizer = tokenizer
+        self.text_models = text_models
+        self.trainable = trainable
+        self.timesteps = np.asarray(timesteps)
+        self.view_ids = np.asarray(list(placeholder_view_token_ids),
+                                   np.int32)
+        self.object_ids = np.asarray(list(placeholder_object_token_ids),
+                                     np.int32)
+        self.dtype = dtype
+
+    def _extract_placeholder(self, ids: np.ndarray,
+                             candidates: np.ndarray) -> np.ndarray:
+        """(B,) id of the candidate present in each prompt, -1 if none
+        (reference prompt_manager.py:61-70)."""
+        out = np.full((ids.shape[0],), -1, np.int32)
+        if candidates.size == 0:
+            return out
+        for b in range(ids.shape[0]):
+            present = np.intersect1d(ids[b], candidates)
+            assert len(present) <= 1, \
+                "at most one placeholder of each kind per prompt"
+            if len(present):
+                out[b] = present[0]
+        return out
+
+    def embed_prompt(self, text: str, truncation_idx: Optional[int] = None,
+                     chunk: int = 10) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (context, context_bypass), each (T, 16, 1, L, D)."""
+        ids = self.tokenizer(
+            text, padding="max_length", truncation=True,
+            max_length=self.text_models.clip_vars["params"]
+            ["position_embedding"].shape[0]).input_ids
+        ids = np.asarray(ids, np.int32)
+        ph_obj = self._extract_placeholder(ids, self.object_ids)
+        ph_view = self._extract_placeholder(ids, self.view_ids)
+
+        @jax.jit
+        def encode_t(ts):
+            # vmap the 16-layer fold over the timestep axis
+            def one(t):
+                return neti_text_conditioning(
+                    self.text_models, self.trainable, jnp.asarray(ids),
+                    jnp.asarray(ph_obj), jnp.asarray(ph_view),
+                    jnp.full((ids.shape[0],), t, jnp.float32),
+                    object_idx=jnp.asarray(0, jnp.int32),
+                    train=False, truncation_idx=truncation_idx)
+            return jax.vmap(one)(ts)
+
+        ctxs, ctxbs = [], []
+        for s in range(0, len(self.timesteps), chunk):
+            ts = jnp.asarray(self.timesteps[s:s + chunk], jnp.float32)
+            c, cb = encode_t(ts)
+            ctxs.append(c)
+            ctxbs.append(cb)
+        ctx = jnp.concatenate(ctxs, axis=0).astype(self.dtype)
+        ctx_b = jnp.concatenate(ctxbs, axis=0).astype(self.dtype)
+        return ctx, ctx_b

@@ -1,0 +1,202 @@
+"""Flax AutoencoderKL (Stable Diffusion VAE), NHWC layout.
+
+Architecture parity with the frozen `AutoencoderKL` the reference loads
+(reference training/coach.py:628-633): 128-base channels, multipliers
+(1, 2, 4, 4), 2 resnet blocks per level, single-head attention at the
+bottleneck, 4-channel diagonal-Gaussian latent, scaling factor 0.18215.
+TPU-first: NHWC tensors (XLA's native conv layout), bf16-friendly compute
+dtype with fp32 GroupNorm statistics.
+
+Used frozen: encode() for training (reference coach.py:167-169), decode()
+for inference (reference sd_pipeline_call.py:113-119).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+SD_VAE_SCALING = 0.18215
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    base_channels: int = 128
+    channel_mults: Tuple[int, ...] = (1, 2, 4, 4)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    norm_groups: int = 32
+    scaling_factor: float = SD_VAE_SCALING
+
+
+def tiny_vae_config() -> VAEConfig:
+    """Small config for tests."""
+    return VAEConfig(base_channels=16, channel_mults=(1, 2), norm_groups=4)
+
+
+class GroupNorm(nn.Module):
+    groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # fp32 statistics regardless of compute dtype
+        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                            dtype=jnp.float32)(x).astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = GroupNorm(self.norm_groups, self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        h = GroupNorm(self.norm_groups, self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head spatial self-attention at the bottleneck."""
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = GroupNorm(self.norm_groups, self.dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=self.dtype, name="q")(h)
+        k = nn.Dense(C, dtype=self.dtype, name="k")(h)
+        v = nn.Dense(C, dtype=self.dtype, name="v")(h)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (C ** -0.5), axis=-1).astype(
+            self.dtype)
+        h = jnp.einsum("bqk,bkc->bqc", probs, v)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return x + h.reshape(B, H, W, C)
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        ch = cfg.base_channels
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(x)
+        for i, mult in enumerate(cfg.channel_mults):
+            out_ch = ch * mult
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(out_ch, cfg.norm_groups, self.dtype,
+                                name=f"down_{i}_block_{j}")(h)
+            if i != len(cfg.channel_mults) - 1:
+                # asymmetric (0,1) pad + stride-2 conv (SD convention)
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                h = nn.Conv(out_ch, (3, 3), strides=2, padding="VALID",
+                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
+        mid_ch = ch * cfg.channel_mults[-1]
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+                        name="mid_block_1")(h)
+        h = AttnBlock(cfg.norm_groups, self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+                        name="mid_block_2")(h)
+        h = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_out")(h)
+        h = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype,
+                    name="quant_conv")(h)
+        return h  # moments: mean | logvar
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        ch = cfg.base_channels
+        z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype,
+                    name="post_quant_conv")(z)
+        mid_ch = ch * cfg.channel_mults[-1]
+        h = nn.Conv(mid_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z)
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+                        name="mid_block_1")(h)
+        h = AttnBlock(cfg.norm_groups, self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+                        name="mid_block_2")(h)
+        for i, mult in enumerate(reversed(cfg.channel_mults)):
+            out_ch = ch * mult
+            for j in range(cfg.layers_per_block + 1):
+                h = ResnetBlock(out_ch, cfg.norm_groups, self.dtype,
+                                name=f"up_{i}_block_{j}")(h)
+            if i != len(cfg.channel_mults) - 1:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
+                h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_{i}_upsample")(h)
+        h = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)
+
+
+class AutoencoderKL(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.config, self.dtype)
+        self.decoder = Decoder(self.config, self.dtype)
+
+    def __call__(self, x, rng):
+        """Full roundtrip (used for init)."""
+        z = self.encode_sample(x, rng)
+        return self.decode(z)
+
+    def moments(self, x):
+        return self.encoder(x)
+
+    def encode_sample(self, x, rng):
+        """Sample z ~ q(z|x), scaled by the SD scaling factor.
+
+        reference coach.py:167-169: vae.encode(...).latent_dist.sample()
+        * scaling_factor. logvar clamped to [-30, 20] (diffusers'
+        DiagonalGaussianDistribution convention).
+        """
+        moments = self.encoder(x)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+        return (mean + std * eps) * self.config.scaling_factor
+
+    def encode_mode(self, x):
+        """Deterministic posterior mode, scaled."""
+        moments = self.encoder(x)
+        mean, _ = jnp.split(moments, 2, axis=-1)
+        return mean * self.config.scaling_factor
+
+    def decode(self, z):
+        """Decode scaled latents back to image space [-1, 1]."""
+        return self.decoder(z / self.config.scaling_factor)

@@ -1,0 +1,328 @@
+"""Pallas TPU flash attention (forward + custom VJP backward).
+
+Why: the UNet's self-attention over 64x64 latents is 4096 tokens; a naive
+softmax(QK^T)V materializes (B*H, 4096, 4096) logits in HBM — the dominant
+bandwidth cost of the whole train step. This kernel runs the online-softmax
+streaming formulation entirely in VMEM, parallelized over (batch*heads,
+query blocks) on the MXU, with fp32 accumulators.
+
+Replaces the CUDA attention inherited by the reference through diffusers'
+CrossAttention (reference models/xti_attention_processor.py:44-50 does
+explicit bmm softmax bmm). The XTI K/V source split happens in the
+projections upstream; this kernel sees plain (q, k, v).
+
+Kernel design notes (see /opt/skills/guides/pallas_guide.md):
+  * grid = (B*H, Lq / block_q); K/V streamed in block_k chunks inside the
+    kernel body; running max/denominator in fp32.
+  * Lk is padded to a lane multiple by the wrapper; padded keys are masked
+    with -inf via a static iota mask (cross-attn Lk=77 -> 128).
+  * head_dim is left unpadded; Mosaic tiles the lane dimension internally.
+  * backward = two kernels (dq over q-blocks, dk/dv over k-blocks) using the
+    saved logsumexp, standard flash-attention-2 recomputation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+_NEG_INF = -1e30
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target and a multiple of 128 (or n).
+
+    The 128 granularity keeps the (BH, 1, Lq) logsumexp output lane-tiled
+    (TPU requires block lane dims to be 128-multiples or the full axis).
+    """
+    if n <= target:
+        return n
+    b = (target // 128) * 128
+    while b >= 128:
+        if n % b == 0:
+            return b
+        b -= 128
+    return n
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                kv_len: int, block_k: int):
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    bq = q.shape[0]
+    lk_pad = k_ref.shape[1]
+    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    num_kb = lk_pad // block_k
+    for kb in range(num_kb):                          # static unroll
+        k = k_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
+        v = v_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bq, bk)
+        valid = kv_len - kb * block_k
+        if valid < block_k:                           # static mask tail
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = m_new
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k,
+               interpret=False):
+    """q: (BH, Lq, d); k/v: (BH, Lk_pad, d). Returns (o, lse)."""
+    BH, Lq, d = q.shape
+    Lk_pad = k.shape[1]
+    grid = (BH, Lq // block_q)
+    out_shapes = (
+        jax.ShapeDtypeStruct((BH, Lq, d), q.dtype),
+        jax.ShapeDtypeStruct((BH, 1, Lq), jnp.float32),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Lq * Lk_pad * d,
+            bytes_accessed=(q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=BH * Lq * Lk_pad),
+        interpret=interpret,
+    )(q, k, v)
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale: float, kv_len: int, block_k: int):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    dq = jnp.zeros_like(q)
+    lk_pad = k_ref.shape[1]
+    for kb in range(lk_pad // block_k):
+        k = k_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
+        v = v_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        valid = kv_len - kb * block_k
+        if valid < block_k:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = dq + scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, kv_len: int,
+                    block_q: int):
+    k = k_ref[0].astype(jnp.float32)                  # (bk, d)
+    v = v_ref[0].astype(jnp.float32)
+    bk = k.shape[0]
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+    lq = q_ref.shape[1]
+    kb = pl.program_id(1)
+    col0 = kb * bk
+    for qb in range(lq // block_q):
+        q = q_ref[0, qb * block_q:(qb + 1) * block_q, :].astype(jnp.float32)
+        do = do_ref[0, qb * block_q:(qb + 1) * block_q, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, qb * block_q:(qb + 1) * block_q][:, None]
+        delta = delta_ref[0, 0, qb * block_q:(qb + 1) * block_q][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (bq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# custom-vjp wrapper over (BH, L, d) tensors
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    o, _ = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret)
+    return o
+
+
+def _flash_fwd_rule(q, k, v, scale, kv_len, block_q, block_k, interpret):
+    o, lse = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd_rule(scale, kv_len, block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    BH, Lq, d = q.shape
+    Lk_pad = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, None, :]              # (BH, 1, Lq)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k),
+        grid=(BH, Lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    bk = min(block_k, Lk_pad)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
+                          block_q=block_q),
+        grid=(BH, Lk_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lq), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+def _default_interpret() -> bool:
+    """Interpret the kernel when lowering for a non-TPU device (CPU tests)."""
+    try:
+        d = jax.config.jax_default_device
+        if d is not None:
+            return d.platform != "tpu"
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Flash attention over (B, Lq, H, d) / (B, Lk, H, d) tensors."""
+    B, Lq, H, d = q.shape
+    Lk = k.shape[1]
+    scale = d ** -0.5
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Lq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Lk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Lk, d)
+    bq = _pick_block(Lq, block_q)
+    # pad kv to a 128-lane multiple, mask inside the kernel
+    kf = _pad_to(kf, 1, 128)
+    vf = _pad_to(vf, 1, 128)
+    bk = _pick_block(kf.shape[1], block_k)
+    if interpret is None:
+        interpret = _default_interpret()
+    o = _flash(qf, kf, vf, scale, Lk, bq, bk, interpret)
+    return o.reshape(B, H, Lq, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_compat(q, k, v) -> Optional[jnp.ndarray]:
+    """Shape-gated entry used by ops.attention: returns None if the kernel
+    doesn't support the shapes (caller falls back to jnp)."""
+    B, Lq, H, d = q.shape
+    if Lq % 8 != 0 or d % 8 != 0 or d > 256:
+        return None
+    try:
+        return flash_attention(q, k, v)
+    except Exception:
+        return None

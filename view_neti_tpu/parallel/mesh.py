@@ -1,0 +1,104 @@
+"""Device mesh + sharding rules.
+
+The learnables are tiny MLPs; the frozen SD stack fits on a single v5e core,
+so the scaling strategy is (SURVEY.md §2.3):
+
+  * dp — data parallel over the batch (the only axis the workload needs);
+    gradient reduction rides ICI via XLA-inserted psum.
+  * tp — optional tensor parallel over the frozen UNet/CLIP matmul kernels
+    (attention heads + MLP hidden). Pointless on one host but exercised by
+    the multi-chip dry run and available for large-batch inference serving.
+
+All sharding is expressed with NamedSharding / PartitionSpec and applied via
+jit in/out shardings — no hand-written collectives.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_dp is None:
+        n_dp = len(devices) // n_tp
+    assert n_dp * n_tp <= len(devices), \
+        f"mesh {n_dp}x{n_tp} > {len(devices)} devices"
+    arr = np.asarray(devices[:n_dp * n_tp]).reshape(n_dp, n_tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def batch_shardings_for(prototype: Any, mesh: Mesh) -> Any:
+    """Per-leaf batch shardings: arrays shard their leading axis over dp,
+    scalars (e.g. TrainBatch.object_idx) replicate."""
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: dp if getattr(x, "ndim", 0) >= 1 else rep, prototype)
+
+
+# --- optional tensor-parallel placement of frozen weights ------------------
+
+_TP_PATTERNS = [
+    # UNet attention projections: shard the head (output) dim of q/k/v and
+    # the input dim of the out-projection.
+    (re.compile(r"(to_q|to_k|to_v)$"), ("kernel",), P(None, "tp")),
+    (re.compile(r"to_out$"), ("kernel",), P("tp", None)),
+    # Transformer MLPs: hidden dim sharded.
+    (re.compile(r"ff_geglu/proj$|fc1$"), ("kernel",), P(None, "tp")),
+    (re.compile(r"ff_out$|fc2$"), ("kernel",), P("tp", None)),
+]
+
+
+def frozen_param_shardings(params: Any, mesh: Mesh,
+                           tensor_parallel: bool = False) -> Any:
+    """A sharding pytree for frozen model params.
+
+    tensor_parallel=False -> fully replicated. True -> attention/MLP matmul
+    kernels sharded over 'tp' where divisible; everything else replicated.
+    """
+    rep = replicated(mesh)
+    if not tensor_parallel or mesh.shape.get("tp", 1) == 1:
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    tp = mesh.shape["tp"]
+    out = []
+    for path, leaf in flat:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        joined = "/".join(str(k) for k in keys)
+        spec = P()
+        for pat, leafnames, cand in _TP_PATTERNS:
+            mod_path = "/".join(str(k) for k in keys[:-1])
+            if pat.search(mod_path) and str(keys[-1]) in leafnames:
+                # only shard if the dimension divides evenly
+                dims_ok = all(
+                    ax is None or leaf.shape[i] % tp == 0
+                    for i, ax in enumerate(cand))
+                if dims_ok:
+                    spec = cand
+                break
+        out.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_pytree(tree: Any, shardings: Any) -> Any:
+    """Place a host pytree onto the mesh with the given shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings)

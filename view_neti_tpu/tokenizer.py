@@ -70,12 +70,12 @@ class _TokenizerBase:
 
     model_max_length = CLIP_MAX_LENGTH
 
-    def __init__(self):
-        self.bos_token_id = CLIP_VOCAB_SIZE - 2  # 49406
-        self.eos_token_id = CLIP_VOCAB_SIZE - 1  # 49407
+    def __init__(self, base_vocab_size: int = CLIP_VOCAB_SIZE):
+        self.bos_token_id = base_vocab_size - 2  # 49406 for CLIP
+        self.eos_token_id = base_vocab_size - 1  # 49407 for CLIP
         self.pad_token_id = self.eos_token_id
         self.unk_token_id = self.eos_token_id
-        self.base_vocab_size = CLIP_VOCAB_SIZE
+        self.base_vocab_size = base_vocab_size
         self.added_tokens: Dict[str, int] = {}
 
     # -- added (placeholder) tokens -------------------------------------
@@ -270,14 +270,14 @@ class FallbackTokenizer(_TokenizerBase):
     with a pretrained embedding table) — supply a tokenizer_path for that.
     """
 
-    _HASH_SPACE = 49152  # leave headroom below BOS/EOS
-
     def _in_base_vocab(self, token: str) -> bool:
         return not (token.startswith("<") and token.endswith(">"))
 
     def _hash_word(self, word: str) -> int:
+        # leave a 256-id margin below BOS/EOS (49152 for the CLIP id space)
+        hash_space = self.base_vocab_size - 256
         h = hashlib.blake2s(word.encode("utf-8"), digest_size=4).digest()
-        return int.from_bytes(h, "little") % self._HASH_SPACE
+        return int.from_bytes(h, "little") % hash_space
 
     def _token_to_id(self, token: str) -> int:
         if token in self.added_tokens:

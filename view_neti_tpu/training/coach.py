@@ -1,0 +1,307 @@
+"""Coach: the textual-inversion trainer.
+
+Orchestration parity with /root/reference/training/coach.py:36-835, on a
+functional JAX core: the per-step work lives in one jit-compiled
+train step (training/train_step.py); the Coach owns host-side concerns —
+data, vocabulary growth, checkpoint cadence, validation cadence, logging.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from view_neti_tpu.checkpoint import CheckpointHandler
+from view_neti_tpu.config import RunConfig
+from view_neti_tpu.data.dataset import DataLoader, TextualInversionDataset
+from view_neti_tpu.tokenizer import load_tokenizer
+from view_neti_tpu.training import builder
+from view_neti_tpu.training.logger import CoachLogger
+from view_neti_tpu.training.optim import (make_lr_schedule,
+                                          scaled_learning_rate, sliced_adamw)
+from view_neti_tpu.training.train_step import (TrainBatch, make_train_step,
+                                               jit_train_step)
+from view_neti_tpu.utils.misc import fixseed
+from view_neti_tpu.parallel import mesh as pmesh
+
+
+class Coach:
+    def __init__(self, cfg: RunConfig, arch: Optional[builder.SDArch] = None,
+                 calibration_dir: Optional[str] = None,
+                 weights_dir: Optional[str] = None,
+                 use_mesh: bool = False):
+        self.cfg = cfg
+        self.logger = CoachLogger(cfg)
+        if cfg.optim.seed is not None:
+            fixseed(cfg.optim.seed)
+
+        mp = cfg.optim.mixed_precision
+        if mp is False:  # YAML 1.1 parses bare `no` as False
+            mp = "no"
+        self.compute_dtype = {
+            "no": jnp.float32,
+            "fp16": jnp.bfloat16,   # TPU: fp16 maps to bf16
+            "bf16": jnp.bfloat16,
+        }[mp]
+
+        # ---- architecture + tokenizer + dataset -----------------------
+        self.arch = arch or builder.resolve_arch(
+            cfg.model.pretrained_model_name_or_path,
+            cfg.model.word_embedding_dim)
+        self.tokenizer = load_tokenizer(cfg.data.tokenizer_path)
+        from view_neti_tpu.tokenizer import FallbackTokenizer
+        if (isinstance(self.tokenizer, FallbackTokenizer)
+                and self.arch.text.vocab_size != self.tokenizer.
+                base_vocab_size):
+            # keep the hash-token id space inside the model's table
+            self.tokenizer = FallbackTokenizer(
+                base_vocab_size=self.arch.text.vocab_size)
+        # sequence length follows the text encoder's position table
+        self.tokenizer.model_max_length = \
+            self.arch.text.max_position_embeddings
+        self.train_dataset = self._init_dataset(calibration_dir)
+        self.placeholder_view_tokens = \
+            self.train_dataset.placeholder_view_tokens
+        self.placeholder_object_tokens = \
+            self.train_dataset.placeholder_object_tokens
+        if cfg.eval.validation_view_tokens is not None:
+            assert all(v in self.placeholder_view_tokens
+                       for v in cfg.eval.validation_view_tokens)
+
+        # ---- models ----------------------------------------------------
+        self.built = builder.build_models(
+            cfg, self.tokenizer, self.placeholder_view_tokens,
+            self.placeholder_object_tokens, arch=self.arch,
+            compute_dtype=self.compute_dtype,
+            calibration_dir=calibration_dir)
+        if weights_dir is not None:
+            self._load_pretrained_weights(weights_dir)
+        self._maybe_load_pretrained_mappers()
+
+        # ---- optimizer --------------------------------------------------
+        lr = scaled_learning_rate(
+            cfg.optim.learning_rate, cfg.optim.scale_lr,
+            cfg.optim.train_batch_size, cfg.optim.gradient_accumulation_steps,
+            num_processes=1)
+        sched = make_lr_schedule(cfg.optim.lr_scheduler, lr,
+                                 cfg.optim.lr_warmup_steps,
+                                 cfg.optim.max_train_steps)
+        self.lr_schedule = sched
+        stacked, frozen_keys = builder.trainable_mask_keys(cfg.learnable_mode)
+        inner = sliced_adamw(sched, cfg.optim.adam_beta1,
+                             cfg.optim.adam_beta2, cfg.optim.adam_epsilon,
+                             cfg.optim.adam_weight_decay,
+                             stacked_keys=stacked, frozen_keys=frozen_keys)
+        self.optimizer = optax.MultiSteps(
+            inner, every_k_schedule=cfg.optim.gradient_accumulation_steps)
+        self.opt_state = self.optimizer.init(self.built.trainable)
+        self.trainable = self.built.trainable
+
+        # ---- jit step ---------------------------------------------------
+        step_fn = make_train_step(self.built.frozen, self.optimizer,
+                                  compute_dtype=self.compute_dtype)
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = pmesh.make_mesh()
+            rep = pmesh.replicated(self.mesh)
+            self._batch_shardings = None  # built lazily from first batch
+            self._rep = rep
+            self._step_raw = step_fn
+            self.train_step = None
+        else:
+            self.mesh = None
+            self.train_step = jax.jit(step_fn, donate_argnums=(0, 1))
+
+        self.checkpoint_handler = CheckpointHandler(
+            cfg=cfg,
+            placeholder_view_tokens=self.placeholder_view_tokens,
+            placeholder_view_token_ids=self.built.placeholder_view_token_ids,
+            placeholder_object_tokens=self.placeholder_object_tokens,
+            placeholder_object_token_ids=(
+                self.built.placeholder_object_token_ids),
+            save_root=cfg.log.exp_dir)
+        self.validator = None  # attached externally (ValidationHandler)
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def _init_dataset(self, calibration_dir) -> TextualInversionDataset:
+        cfg = self.cfg
+        return TextualInversionDataset(
+            learnable_mode=cfg.learnable_mode,
+            fixed_object_token_or_path=cfg.data.fixed_object_token_or_path,
+            data_root=cfg.data.train_data_dir,
+            train_data_subsets=cfg.data.train_data_subsets,
+            placeholder_object_tokens=cfg.data.placeholder_object_tokens,
+            tokenizer=self.tokenizer,
+            size=cfg.data.resolution,
+            placeholder_object_token=cfg.data.placeholder_object_token,
+            repeats=cfg.data.repeats,
+            center_crop=cfg.data.center_crop,
+            caption_strategy=cfg.data.caption_strategy,
+            camera_representation=cfg.data.camera_representation,
+            dtu_lighting=cfg.data.dtu_lighting,
+            dtu_subset=cfg.data.dtu_subset,
+            dtu_preprocess_key=cfg.data.dtu_preprocess_key,
+            augmentation_key=cfg.data.augmentation_key,
+            flip_p=cfg.data.flip_p,
+            calibration_dir=calibration_dir,
+            seed=cfg.seed,
+            set_name="train")
+
+    def _load_pretrained_weights(self, weights_dir: str) -> None:
+        """Overlay local ported SD weights onto the random-init stack."""
+        import dataclasses as dc
+        from view_neti_tpu import weight_port
+        arch = self.built.arch
+        ported = weight_port.load_sd_weights(
+            Path(weights_dir), text_layers=arch.text.num_layers,
+            use_linear_projection=arch.unet.use_linear_projection,
+            vocab_headroom=arch.text.vocab_headroom)
+        frozen = self.built.frozen
+        unet_vars = {"params": weight_port.merge_ported(
+            jax.device_get(frozen.unet_vars["params"]), ported["unet"])}
+        vae_vars = {"params": weight_port.merge_ported(
+            jax.device_get(frozen.vae_vars["params"]), ported["vae"])}
+        clip_params = weight_port.merge_ported(
+            jax.device_get(frozen.text.clip_vars["params"]), ported["clip"])
+        text = dc.replace(frozen.text,
+                          clip_vars={"params": clip_params})
+        self.built.frozen = dc.replace(frozen, unet_vars=unet_vars,
+                                       vae_vars=vae_vars, text=text)
+        self.logger.log_message(f"loaded pretrained weights: {weights_dir}")
+
+    def _maybe_load_pretrained_mappers(self) -> None:
+        """Modes 4/5: load the pretrained view mapper; mode 1/2 with a
+        pretrained object path: load it (reference coach.py:492-598)."""
+        import dataclasses as dc
+        cfg = self.cfg
+        if cfg.learnable_mode in (4, 5) and cfg.model.pretrained_view_mapper:
+            p = Path(cfg.model.pretrained_view_mapper)
+            if p.exists():
+                _, payload = CheckpointHandler.load_mapper(p)
+                entry = payload["mappers"]["view"]
+                self.built.trainable["view"] = jax.tree_util.tree_map(
+                    jnp.asarray, entry["params"])
+                text = self.built.frozen.text
+                self.built.frozen = dc.replace(
+                    self.built.frozen,
+                    text=dc.replace(text, view_constants=jax.tree_util.
+                                    tree_map(jnp.asarray,
+                                             entry["constants"])))
+                self.logger.log_message(f"loaded pretrained view mapper {p}")
+            else:
+                self.logger.log_message(
+                    f"pretrained view mapper {p} not found; "
+                    "training from fresh init")
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        total_batch_size = (cfg.optim.train_batch_size
+                            * cfg.optim.gradient_accumulation_steps)
+        self.logger.log_start_of_training(
+            total_batch_size=total_batch_size,
+            num_samples=len(self.train_dataset))
+        loader = DataLoader(self.train_dataset,
+                            batch_size=cfg.optim.train_batch_size,
+                            shuffle=True, seed=cfg.seed)
+        rng = jax.random.PRNGKey(cfg.optim.seed or cfg.seed)
+        trainable, opt_state = self.trainable, self.opt_state
+        k = cfg.optim.gradient_accumulation_steps
+        micro_step = 0
+        last_loss = float("nan")
+        t0 = time.time()
+        import os
+        from view_neti_tpu.utils.profiling import StepTimer, trace
+        timer = StepTimer()
+        trace_dir = os.environ.get("VIEW_NETI_TRACE_DIR")
+        trace_ctx = trace(trace_dir)
+        trace_ctx.__enter__()
+        while self.global_step < cfg.optim.max_train_steps:
+            for batch_np in loader:
+                if cfg.learnable_mode == 3:
+                    self.train_dataset.reset_sampled_object()
+                rng, sub = jax.random.split(rng)
+                batch = TrainBatch(
+                    pixel_values=jnp.asarray(batch_np["pixel_values"]),
+                    input_ids=jnp.asarray(batch_np["input_ids"]),
+                    input_ids_placeholder_object=jnp.asarray(
+                        batch_np["input_ids_placeholder_object"]),
+                    input_ids_placeholder_view=jnp.asarray(
+                        batch_np["input_ids_placeholder_view"]),
+                    object_idx=jnp.asarray(batch_np["object_idx"]))
+                step_fn = self._resolve_step(batch)
+                trainable, opt_state, metrics = step_fn(
+                    trainable, opt_state, batch, sub)
+                micro_step += 1
+                timer.tick()
+                if micro_step % k == 0:
+                    self.global_step += 1
+                    last_loss = float(metrics["total_loss"])
+                    self.logger.update_step(self.global_step)
+                    logs = {
+                        "total_loss": last_loss,
+                        "lr": float(self.lr_schedule(self.global_step)),
+                    }
+                    ips = timer.imgs_per_sec(cfg.optim.train_batch_size)
+                    if ips:
+                        logs["imgs_per_sec"] = ips
+                    self.logger.log_metrics(logs)
+                    if self._should_save():
+                        self._save(trainable,
+                                   f"learned_embeds-steps-"
+                                   f"{self.global_step}.msgpack",
+                                   f"mapper-steps-"
+                                   f"{self.global_step}.msgpack")
+                    if self._should_eval() and self.validator is not None:
+                        self.validator.infer(coach=self,
+                                             trainable=trainable,
+                                             step=self.global_step)
+                if self.global_step >= cfg.optim.max_train_steps:
+                    break
+        trace_ctx.__exit__(None, None, None)
+        self.trainable, self.opt_state = trainable, opt_state
+        self._save(trainable, "learned_embeds-final.msgpack",
+                   "mapper-final.msgpack")
+        wall = time.time() - t0
+        self.logger.log_message(
+            f"training done: {self.global_step} steps in {wall:.1f}s")
+        self.logger.close()
+        return {"steps": self.global_step, "wall_s": wall,
+                "final_loss": last_loss}
+
+    def _resolve_step(self, batch):
+        if self.mesh is None:
+            return self.train_step
+        if self.train_step is None:
+            bs = pmesh.batch_shardings_for(batch, self.mesh)
+            self.train_step = jit_train_step(
+                self._step_raw, mesh=self.mesh, batch_sharding=bs,
+                replicated=self._rep)
+        return self.train_step
+
+    def _save(self, trainable, embeds_name: str, mapper_name: str) -> None:
+        text = self.built.frozen.text
+        token_table = jax.device_get(
+            text.clip_vars["params"]["token_embedding"])
+        self.checkpoint_handler.save_model(
+            trainable=jax.device_get(trainable),
+            obj_constants=jax.device_get(text.obj_constants),
+            view_constants=jax.device_get(text.view_constants),
+            view_table=self.built.view_table,
+            token_table=token_table,
+            embeds_save_name=embeds_name,
+            mapper_save_name=mapper_name)
+        self.logger.log_message(f"saved checkpoint at step "
+                                f"{self.global_step}")
+
+    def _should_save(self) -> bool:
+        return self.global_step % self.cfg.log.save_steps == 0
+
+    def _should_eval(self) -> bool:
+        return (self.cfg.eval.validation_prompts is not None
+                and self.global_step % self.cfg.eval.validation_steps == 0)

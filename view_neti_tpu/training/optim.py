@@ -1,0 +1,176 @@
+"""Optimizer: AdamW over mapper params with per-slice activity masking.
+
+Parity target: torch.optim.AdamW over the mapper parameters only (reference
+training/coach.py:727-757). Two behaviors matter beyond vanilla optax:
+
+  1. mode-3 object-mapper banks are stacked along a leading axis N; only the
+     scene sampled in the current accumulation window receives gradients.
+     torch skips params with grad=None entirely (no moment decay, no weight
+     decay, no step-count increment); replicated here with an activity mask
+     per bank slice derived from the gradients.
+  2. frozen subtrees (mode-5 view mapper, mode-1 pretrained object mapper)
+     stay in the forward pass but get a zero train mask.
+
+Gradient accumulation wraps this with optax.MultiSteps (mean over the
+window — matching accelerate's loss/k scaling, reference coach.py:158,214).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class SlicedAdamWState(NamedTuple):
+    mu: Any
+    nu: Any
+    counts: Any   # pytree matching the mask structure: per-slice step counts
+
+
+def _slice_activity(grads_subtree) -> jnp.ndarray:
+    """(N,) bool: does bank slice n have any nonzero gradient?"""
+    leaves = jax.tree_util.tree_leaves(grads_subtree)
+    acc = None
+    for g in leaves:
+        red = jnp.sum(jnp.abs(g), axis=tuple(range(1, g.ndim)))
+        acc = red if acc is None else acc + red
+    return acc > 0
+
+
+def _tree_activity(grads_subtree) -> jnp.ndarray:
+    """scalar bool: any nonzero gradient in the subtree?"""
+    leaves = jax.tree_util.tree_leaves(grads_subtree)
+    return sum(jnp.sum(jnp.abs(g)) for g in leaves) > 0
+
+
+def sliced_adamw(learning_rate: Callable[[jnp.ndarray], jnp.ndarray],
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                 weight_decay: float = 1e-2,
+                 stacked_keys: tuple = ("object",),
+                 frozen_keys: tuple = ()) -> optax.GradientTransformation:
+    """AdamW over a dict-of-subtrees param pytree.
+
+    stacked_keys: top-level keys whose leaves carry a leading bank axis N;
+      masked per-slice by gradient activity.
+    frozen_keys: top-level keys that never update (forward-only params).
+    """
+
+    def init(params: Dict[str, Any]) -> SlicedAdamWState:
+        # mu and nu must be DISTINCT buffers: the train step donates the
+        # optimizer state, and XLA rejects donating one buffer twice.
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zeros2 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        counts = {}
+        for key, sub in params.items():
+            if sub is None:
+                counts[key] = None
+            elif key in stacked_keys:
+                n = jax.tree_util.tree_leaves(sub)[0].shape[0]
+                counts[key] = jnp.zeros((n,), jnp.int32)
+            else:
+                counts[key] = jnp.zeros((), jnp.int32)
+        return SlicedAdamWState(mu=zeros, nu=zeros2, counts=counts)
+
+    def update(grads, state, params):
+        new_mu, new_nu, new_counts, updates = {}, {}, {}, {}
+        for key, g_sub in grads.items():
+            p_sub = params[key]
+            mu_sub, nu_sub = state.mu[key], state.nu[key]
+            if g_sub is None:
+                new_mu[key], new_nu[key] = mu_sub, nu_sub
+                new_counts[key] = state.counts[key]
+                updates[key] = None
+                continue
+            if key in frozen_keys:
+                new_mu[key], new_nu[key] = mu_sub, nu_sub
+                new_counts[key] = state.counts[key]
+                updates[key] = jax.tree_util.tree_map(jnp.zeros_like, g_sub)
+                continue
+            if key in stacked_keys:
+                active = _slice_activity(g_sub)               # (N,) bool
+                count = state.counts[key] + active.astype(jnp.int32)
+
+                def upd(g, mu, nu, p, active=active, count=count):
+                    bshape = (-1,) + (1,) * (g.ndim - 1)
+                    a = active.reshape(bshape)
+                    c = count.reshape(bshape).astype(jnp.float32)
+                    mu2 = jnp.where(a, b1 * mu + (1 - b1) * g, mu)
+                    nu2 = jnp.where(a, b2 * nu + (1 - b2) * g * g, nu)
+                    c_safe = jnp.maximum(c, 1.0)
+                    mu_hat = mu2 / (1 - b1 ** c_safe)
+                    nu_hat = nu2 / (1 - b2 ** c_safe)
+                    step = mu_hat / (jnp.sqrt(nu_hat) + eps) \
+                        + weight_decay * p
+                    lr = learning_rate(jnp.max(count))
+                    return mu2, nu2, jnp.where(a, -lr * step, 0.0)
+            else:
+                active = _tree_activity(g_sub)                 # scalar bool
+                count = state.counts[key] + active.astype(jnp.int32)
+
+                def upd(g, mu, nu, p, active=active, count=count):
+                    c = jnp.maximum(count.astype(jnp.float32), 1.0)
+                    mu2 = jnp.where(active, b1 * mu + (1 - b1) * g, mu)
+                    nu2 = jnp.where(active, b2 * nu + (1 - b2) * g * g, nu)
+                    mu_hat = mu2 / (1 - b1 ** c)
+                    nu_hat = nu2 / (1 - b2 ** c)
+                    step = mu_hat / (jnp.sqrt(nu_hat) + eps) \
+                        + weight_decay * p
+                    lr = learning_rate(count)
+                    return mu2, nu2, jnp.where(active, -lr * step, 0.0)
+
+            g_flat, treedef = jax.tree_util.tree_flatten(g_sub)
+            mu_flat = treedef.flatten_up_to(mu_sub)
+            nu_flat = treedef.flatten_up_to(nu_sub)
+            p_flat = treedef.flatten_up_to(p_sub)
+            out = [upd(g, m, n, p) for g, m, n, p
+                   in zip(g_flat, mu_flat, nu_flat, p_flat)]
+            new_mu[key] = jax.tree_util.tree_unflatten(
+                treedef, [o[0] for o in out])
+            new_nu[key] = jax.tree_util.tree_unflatten(
+                treedef, [o[1] for o in out])
+            updates[key] = jax.tree_util.tree_unflatten(
+                treedef, [o[2] for o in out])
+            new_counts[key] = count
+        return updates, SlicedAdamWState(new_mu, new_nu, new_counts)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_lr_schedule(kind: str, base_lr: float, warmup_steps: int,
+                     total_steps: int) -> Callable:
+    """LR schedules matching diffusers get_scheduler names the reference
+    passes through (reference training/coach.py:759-770)."""
+    if kind == "constant":
+        return lambda step: jnp.asarray(base_lr, jnp.float32)
+    if kind == "constant_with_warmup":
+        def sched(step):
+            w = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+            return jnp.asarray(base_lr, jnp.float32) * w
+        return sched
+    if kind == "linear":
+        def sched(step):
+            w = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+            decay = jnp.maximum(
+                0.0, (total_steps - step) / jnp.maximum(
+                    total_steps - warmup_steps, 1))
+            return base_lr * jnp.minimum(w, decay)
+        return sched
+    if kind == "cosine":
+        def sched(step):
+            w = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+            prog = jnp.clip((step - warmup_steps)
+                            / jnp.maximum(total_steps - warmup_steps, 1),
+                            0.0, 1.0)
+            return base_lr * w * 0.5 * (1 + jnp.cos(jnp.pi * prog))
+        return sched
+    raise NotImplementedError(f"lr_scheduler {kind!r}")
+
+
+def scaled_learning_rate(base_lr: float, scale_lr: bool, batch_size: int,
+                         grad_accum: int, num_processes: int) -> float:
+    """reference coach.py:728-733: lr *= accum * batch * processes."""
+    if scale_lr:
+        return base_lr * grad_accum * batch_size * num_processes
+    return base_lr

@@ -1,0 +1,125 @@
+"""The jit-compiled textual-inversion train step.
+
+One call = one micro-batch (the reference's inner loop body, reference
+training/coach.py:154-229): VAE-encode pixels, sample noise + per-sample
+timesteps with explicit PRNG, compute the 16-layer NeTI text conditioning in
+one folded pass, UNet epsilon/v prediction, MSE, grads w.r.t. mapper params
+only, activity-masked AdamW with optax.MultiSteps gradient accumulation.
+
+Differences from the reference made possible by the functional design:
+  * The embedding-row restore (reference coach.py:222-229) is unnecessary —
+    the CLIP token table is not in the optimizer at all.
+  * Donated buffers: trainable params + optimizer state are donated to the
+    step for in-place updates on device.
+
+Sharding: the step is jitted over a (dp, tp) jax.sharding.Mesh. The batch is
+sharded over dp; frozen model weights are replicated (they fit on one chip —
+SURVEY.md §2.3) or, optionally, heavy UNet/CLIP matmul kernels are sharded
+over tp (parallel/mesh.py); gradients are reduced over ICI by XLA-inserted
+collectives, never by hand.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from view_neti_tpu.models.unet import UNet2DCondition
+from view_neti_tpu.models.vae import AutoencoderKL
+from view_neti_tpu.schedulers.ddpm import DDPMSchedule
+from view_neti_tpu.training.text_forward import (TextModels,
+                                                 neti_text_conditioning)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainBatch:
+    """Device-side micro-batch (built host-side by the data pipeline)."""
+    pixel_values: jnp.ndarray            # (B, H, W, 3) in [-1, 1]
+    input_ids: jnp.ndarray               # (B, L) int32
+    input_ids_placeholder_object: jnp.ndarray   # (B,) int32, -1 if absent
+    input_ids_placeholder_view: jnp.ndarray     # (B,) int32, -1 if absent
+    object_idx: jnp.ndarray              # () int32 — mode-3 scene index
+
+
+@dataclass(frozen=True)
+class FrozenModels:
+    """Static modules + frozen variables for the SD stack."""
+    text: TextModels
+    unet: UNet2DCondition
+    unet_vars: Any
+    vae: AutoencoderKL
+    vae_vars: Any
+    schedule: DDPMSchedule
+
+
+def make_train_step(frozen: FrozenModels,
+                    optimizer: optax.GradientTransformation,
+                    compute_dtype: jnp.dtype = jnp.float32,
+                    ) -> Callable:
+    """Build the (un-jitted) train step closure over the frozen stack.
+
+    Returns step(trainable, opt_state, batch, rng) ->
+      (trainable, opt_state, metrics).
+    """
+    schedule = frozen.schedule
+
+    def loss_fn(trainable, batch: TrainBatch, noisy, timesteps, target,
+                rng_drop):
+        ctx, ctx_b = neti_text_conditioning(
+            frozen.text, trainable,
+            input_ids=batch.input_ids,
+            ph_obj_ids=batch.input_ids_placeholder_object,
+            ph_view_ids=batch.input_ids_placeholder_view,
+            timesteps=timesteps,
+            object_idx=batch.object_idx,
+            rng=rng_drop, train=True)
+        pred = frozen.unet.apply(
+            frozen.unet_vars, noisy.astype(compute_dtype),
+            timesteps, ctx.astype(compute_dtype),
+            ctx_b.astype(compute_dtype))
+        return jnp.mean(
+            (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+    def step(trainable, opt_state, batch: TrainBatch, rng):
+        r_vae, r_noise, r_t, r_drop = jax.random.split(rng, 4)
+        latents = frozen.vae.apply(
+            frozen.vae_vars, batch.pixel_values.astype(compute_dtype), r_vae,
+            method=AutoencoderKL.encode_sample)
+        latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        B = latents.shape[0]
+        timesteps = jax.random.randint(
+            r_t, (B,), 0, schedule.num_train_timesteps)
+        noisy = schedule.add_noise(latents, noise, timesteps)
+        target = schedule.target(latents, noise, timesteps)
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, batch, noisy, timesteps, target, r_drop)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, {"total_loss": loss}
+
+    return step
+
+
+def jit_train_step(step_fn: Callable, mesh=None, batch_sharding=None,
+                   replicated=None) -> Callable:
+    """jit with buffer donation; optionally constrained to a mesh.
+
+    With a mesh: trainable/opt_state replicated, batch sharded over 'dp'
+    (XLA inserts the psum for the gradient all-reduce automatically since
+    replicated outputs depend on dp-sharded inputs).
+    """
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, batch_sharding, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1))
