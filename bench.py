@@ -43,14 +43,24 @@ def main():
     from view_neti_tpu.training.train_step import TrainBatch, make_train_step
     from view_neti_tpu.data import dtu as dtu_mod
 
-    B = 3
+    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "3"))
     if tiny:
         arch = builder.tiny_arch()
         H, W = 16, 16
         tok = FallbackTokenizer(base_vocab_size=512)
     else:
-        arch = None  # resolve SD-1.5
-        H, W = 384, 512
+        from view_neti_tpu.models.unet import sd15_unet_config
+        from view_neti_tpu.models.clip_text import sd15_text_config
+        from view_neti_tpu.models.vae import VAEConfig
+        arch = builder.SDArch(
+            text=sd15_text_config(),
+            unet=sd15_unet_config(use_flash_attention=use_flash,
+                                  gradient_checkpointing=remat),
+            vae=VAEConfig(), prediction_type="epsilon")
+        H, W = (int(x) for x in os.environ.get(
+            "BENCH_HW", "384,512").split(","))
         tok = FallbackTokenizer()
 
     cfg = decode(RunConfig, {
@@ -87,8 +97,7 @@ def main():
     sched = make_lr_schedule("constant", lr, 0, 3000)
     opt = sliced_adamw(sched)
     opt_state = opt.init(built.trainable)
-    step = jax.jit(make_train_step(built.frozen, opt,
-                                   compute_dtype=jnp.bfloat16),
+    step = jax.jit(make_train_step(opt, compute_dtype=jnp.bfloat16),
                    donate_argnums=(0, 1))
 
     # synthetic batch at mode-2 shapes
@@ -115,14 +124,16 @@ def main():
     t_c0 = time.time()
     for _ in range(2):
         rng, sub = jax.random.split(rng)
-        trainable, opt_state, metrics = step(trainable, opt_state, batch, sub)
+        trainable, opt_state, metrics = step(trainable, opt_state,
+                                             built.frozen, batch, sub)
     jax.block_until_ready(metrics["total_loss"])
     compile_s = time.time() - t_c0
 
     t0 = time.time()
     for _ in range(steps):
         rng, sub = jax.random.split(rng)
-        trainable, opt_state, metrics = step(trainable, opt_state, batch, sub)
+        trainable, opt_state, metrics = step(trainable, opt_state,
+                                             built.frozen, batch, sub)
     jax.block_until_ready(metrics["total_loss"])
     dt = time.time() - t0
 

@@ -148,8 +148,7 @@ class TestTrainStep:
         cfg, built = _build(mode, n_obj=n_obj, n_view=n_view)
         opt = _optimizer(cfg, mode)
         opt_state = opt.init(built.trainable)
-        step = jax.jit(make_train_step(built.frozen, opt),
-                       donate_argnums=(0, 1))
+        step = jax.jit(make_train_step(opt), donate_argnums=(0, 1))
         # the step donates its inputs; step on a copy so built.trainable
         # stays live for before/after comparisons
         trainable = jax.tree_util.tree_map(jnp.copy, built.trainable)
@@ -159,8 +158,8 @@ class TestTrainStep:
             rng, sub = jax.random.split(rng)
             oi = object_idxs[i] if object_idxs else 0
             batch = _batch(built, B=2, mode=mode, object_idx=oi)
-            trainable, opt_state, metrics = step(trainable, opt_state,
-                                                 batch, sub)
+            trainable, opt_state, metrics = step(
+                trainable, opt_state, built.frozen, batch, sub)
             losses.append(float(metrics["total_loss"]))
         return cfg, built, trainable, opt_state, losses
 
@@ -218,10 +217,12 @@ class TestMeshSharding:
         opt_state = opt.init(built.trainable)
         batch = _batch(built, B=4)
         bs = pmesh.batch_shardings_for(batch, m)
-        step = jit_train_step(make_train_step(built.frozen, opt),
-                              mesh=m, batch_sharding=bs, replicated=rep)
+        step = jit_train_step(make_train_step(opt), mesh=m,
+                              batch_sharding=bs, replicated=rep)
+        frozen = jax.device_put(built.frozen, rep)
         trainable, opt_state, metrics = step(
-            built.trainable, opt_state, batch, jax.random.PRNGKey(0))
+            built.trainable, opt_state, frozen, batch,
+            jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["total_loss"]))
 
 
@@ -231,8 +232,7 @@ class TestGradAccum:
         inner = _optimizer(cfg, 0)
         opt = optax.MultiSteps(inner, every_k_schedule=3)
         opt_state = opt.init(built.trainable)
-        step = jax.jit(make_train_step(built.frozen, opt),
-                       donate_argnums=(0, 1))
+        step = jax.jit(make_train_step(opt), donate_argnums=(0, 1))
         t0 = jax.tree_util.tree_map(jnp.copy, built.trainable)
         trainable = built.trainable
         rng = jax.random.PRNGKey(0)
@@ -240,6 +240,7 @@ class TestGradAccum:
         for i in range(3):
             rng, sub = jax.random.split(rng)
             trainable, opt_state, _ = step(trainable, opt_state,
+                                           built.frozen,
                                            _batch(built, B=2), sub)
             d = jax.tree_util.tree_map(
                 lambda a, b: float(jnp.abs(a - b).sum()), t0,

@@ -129,24 +129,27 @@ class ModelConfig:
                 sigma_r=self.pe_sigmas.get('sigma_phi', 1.0),
                 sigma_dtu12=self.pe_sigmas.get('sigma_dtu12', 2.0))
         if isinstance(self.pe_sigmas, PESigmas):
+            import dataclasses as _dc
             sigma_dtu12_by_key = {0: None, 1: 1.0, 2: 0.5, 3: 0.25, 4: 0.75,
                                   5: 0.1}
             if self.pe_sigma_exp_key not in sigma_dtu12_by_key:
                 raise ValueError(
                     f"unknown pe_sigma_exp_key {self.pe_sigma_exp_key}")
+            updates = {}
             v = sigma_dtu12_by_key[self.pe_sigma_exp_key]
             if v is not None:
-                self.pe_sigmas.sigma_dtu12 = v
+                updates["sigma_dtu12"] = v
 
             sigma_t_by_key = {0: 0.03, 1: 0.06, 2: 0.2, 3: 0.5}
             if self.pe_t_exp_key not in sigma_t_by_key:
                 raise ValueError(f"unknown pe_t_exp_key {self.pe_t_exp_key}")
-            self.pe_sigmas.sigma_t = sigma_t_by_key[self.pe_t_exp_key]
+            updates["sigma_t"] = sigma_t_by_key[self.pe_t_exp_key]
 
             sigma_l_by_key = {0: 2.0, 1: 4.0}
             if self.pe_l_exp_key not in sigma_l_by_key:
                 raise ValueError(f"unknown pe_l_exp_key {self.pe_l_exp_key}")
-            self.pe_sigmas.sigma_l = sigma_l_by_key[self.pe_l_exp_key]
+            updates["sigma_l"] = sigma_l_by_key[self.pe_l_exp_key]
+            self.pe_sigmas = _dc.replace(self.pe_sigmas, **updates)
 
 
 @dataclass

@@ -22,12 +22,15 @@ import numpy as np
 from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
 
 
-def make_denoise_fn(unet, unet_vars, schedule: DPMSolverSchedule,
+def make_denoise_fn(unet, unet_vars_unused, schedule: DPMSolverSchedule,
                     num_inference_steps: int, guidance_scale: float = 7.5,
                     compute_dtype=jnp.float32):
     """Build the jitted denoise loop.
 
-    Returns fn(latents0, context, context_bypass, uncond_ctx) -> latents
+    Returns fn(latents0, unet_vars, context, context_bypass, uncond_ctx)
+    -> latents. unet_vars is an ARGUMENT (not closed over): closure capture
+    would inline ~2GB of frozen UNet weights as literal constants in the
+    lowered program (see training/train_step.py FrozenModels).
       latents0: (N, h, w, 4) initial noise
       context/context_bypass: (T, 16, 1, L, D) per-step NeTI conditioning
       uncond_ctx: (1, L, D) negative-prompt hidden states
@@ -37,7 +40,7 @@ def make_denoise_fn(unet, unet_vars, schedule: DPMSolverSchedule,
     ts = jnp.asarray(timesteps, jnp.float32)
     do_cfg = guidance_scale > 1.0
 
-    def denoise(latents, context, context_bypass, uncond_ctx):
+    def denoise(latents, unet_vars, context, context_bypass, uncond_ctx):
         N = latents.shape[0]
         n_layers = context.shape[1]
         uncond = jnp.broadcast_to(
@@ -101,12 +104,23 @@ def generate(unet, unet_vars, vae, vae_vars, schedule: DPMSolverSchedule,
         jax.random.normal(jax.random.PRNGKey(int(s)), (h, w, 4),
                           jnp.float32)
         for s in seeds])
-    latents = denoise_fn(lat0, context, context_bypass, uncond_ctx)
-    imgs = vae.apply(vae_vars, latents.astype(compute_dtype),
-                     method=AutoencoderKL.decode)
+    latents = denoise_fn(lat0, unet_vars, context, context_bypass,
+                         uncond_ctx)
+    imgs = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))
     imgs = np.asarray(jnp.clip(
         imgs.astype(jnp.float32) / 2 + 0.5, 0, 1))
     return (imgs * 255).round().astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _decode_jit(vae, vae_vars, latents):
+    from view_neti_tpu.models.vae import AutoencoderKL
+    return vae.apply(vae_vars, latents, method=AutoencoderKL.decode)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _clip_plain_jit(clip, clip_vars, ids):
+    return clip.apply(clip_vars, ids)[0]
 
 
 def encode_uncond(clip, clip_vars, tokenizer, negative_prompt: str = "",
@@ -116,5 +130,4 @@ def encode_uncond(clip, clip_vars, tokenizer, negative_prompt: str = "",
     L = max_length or clip_vars["params"]["position_embedding"].shape[0]
     ids = tokenizer(negative_prompt or "", padding="max_length",
                     truncation=True, max_length=L).input_ids
-    hidden, _, _, _ = clip.apply(clip_vars, jnp.asarray(ids, jnp.int32))
-    return hidden
+    return _clip_plain_jit(clip, clip_vars, jnp.asarray(ids, jnp.int32))

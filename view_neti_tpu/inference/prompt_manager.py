@@ -12,6 +12,7 @@ which the jitted denoise loop indexes by step.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -21,6 +22,21 @@ import numpy as np
 from view_neti_tpu.constants import NUM_UNET_LAYERS
 from view_neti_tpu.training.text_forward import (TextModels,
                                                  neti_text_conditioning)
+
+
+@functools.partial(jax.jit, static_argnames=("truncation_idx",))
+def _encode_chunk(models, trainable, ids, ph_obj, ph_view, ts,
+                  truncation_idx):
+    """Batched text conditioning over a chunk of timesteps. `models` is a
+    TextModels pytree argument — not closed over (multi-GB frozen weights
+    must not be inlined as HLO constants)."""
+    def one(t):
+        return neti_text_conditioning(
+            models, trainable, ids, ph_obj, ph_view,
+            jnp.full((ids.shape[0],), t, jnp.float32),
+            object_idx=jnp.asarray(0, jnp.int32),
+            train=False, truncation_idx=truncation_idx)
+    return jax.vmap(one)(ts)
 
 
 class PromptManager:
@@ -65,22 +81,13 @@ class PromptManager:
         ph_obj = self._extract_placeholder(ids, self.object_ids)
         ph_view = self._extract_placeholder(ids, self.view_ids)
 
-        @jax.jit
-        def encode_t(ts):
-            # vmap the 16-layer fold over the timestep axis
-            def one(t):
-                return neti_text_conditioning(
-                    self.text_models, self.trainable, jnp.asarray(ids),
-                    jnp.asarray(ph_obj), jnp.asarray(ph_view),
-                    jnp.full((ids.shape[0],), t, jnp.float32),
-                    object_idx=jnp.asarray(0, jnp.int32),
-                    train=False, truncation_idx=truncation_idx)
-            return jax.vmap(one)(ts)
-
         ctxs, ctxbs = [], []
         for s in range(0, len(self.timesteps), chunk):
             ts = jnp.asarray(self.timesteps[s:s + chunk], jnp.float32)
-            c, cb = encode_t(ts)
+            c, cb = _encode_chunk(
+                self.text_models, self.trainable, jnp.asarray(ids),
+                jnp.asarray(ph_obj), jnp.asarray(ph_view), ts,
+                truncation_idx)
             ctxs.append(c)
             ctxbs.append(cb)
         ctx = jnp.concatenate(ctxs, axis=0).astype(self.dtype)

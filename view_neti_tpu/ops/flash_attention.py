@@ -70,20 +70,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
     bq = q.shape[0]
     lk_pad = k_ref.shape[1]
-    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
     num_kb = lk_pad // block_k
-    for kb in range(num_kb):                          # static unroll
-        k = k_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
-        v = v_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
+
+    def body(kb, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
-        valid = kv_len - kb * block_k
-        if valid < block_k:                           # static mask tail
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < valid, s, _NEG_INF)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + kb * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -91,7 +89,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         acc = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m = m_new
+        return acc, m_new, l
+
+    acc, m, l = jax.lax.fori_loop(
+        0, num_kb, body,
+        (jnp.zeros((bq, q.shape[1]), jnp.float32),
+         jnp.full((bq, 1), _NEG_INF, jnp.float32),
+         jnp.zeros((bq, 1), jnp.float32)))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
@@ -143,25 +147,26 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
-    dq = jnp.zeros_like(q)
     lk_pad = k_ref.shape[1]
-    for kb in range(lk_pad // block_k):
-        k = k_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
-        v = v_ref[0, kb * block_k:(kb + 1) * block_k, :].astype(jnp.float32)
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        valid = kv_len - kb * block_k
-        if valid < block_k:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < valid, s, _NEG_INF)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + kb * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dq = dq + scale * jax.lax.dot_general(
+        return dq + scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, lk_pad // block_k, body, jnp.zeros_like(q))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -170,17 +175,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     block_q: int):
     k = k_ref[0].astype(jnp.float32)                  # (bk, d)
     v = v_ref[0].astype(jnp.float32)
-    bk = k.shape[0]
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
     lq = q_ref.shape[1]
     kb = pl.program_id(1)
-    col0 = kb * bk
-    for qb in range(lq // block_q):
-        q = q_ref[0, qb * block_q:(qb + 1) * block_q, :].astype(jnp.float32)
-        do = do_ref[0, qb * block_q:(qb + 1) * block_q, :].astype(jnp.float32)
-        lse = lse_ref[0, 0, qb * block_q:(qb + 1) * block_q][:, None]
-        delta = delta_ref[0, 0, qb * block_q:(qb + 1) * block_q][:, None]
+    col0 = kb * k.shape[0]
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
@@ -195,6 +199,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk = dk + scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, lq // block_q, body,
+        (jnp.zeros_like(k), jnp.zeros_like(v)))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 

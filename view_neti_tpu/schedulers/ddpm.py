@@ -13,16 +13,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class DDPMSchedule:
     """Precomputed diffusion schedule. All arrays are float32 numpy at
-    construction; jnp ops broadcast them on device at trace time."""
+    construction; jnp ops broadcast them on device at trace time.
+
+    Hash/eq are defined on the generating config (not the derived arrays)
+    so the schedule can ride as static metadata on jit-traversed pytrees."""
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
     beta_schedule: str = "scaled_linear"
     prediction_type: str = "epsilon"
     alphas_cumprod: np.ndarray = field(init=False, repr=False, default=None)
+
+    def _key(self):
+        return (self.num_train_timesteps, self.beta_start, self.beta_end,
+                self.beta_schedule, self.prediction_type)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return (isinstance(other, DDPMSchedule)
+                and self._key() == other._key())
 
     def __post_init__(self):
         if self.beta_schedule == "scaled_linear":

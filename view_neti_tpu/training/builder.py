@@ -151,6 +151,9 @@ def _init_mapper(cfg: RunConfig, embedding_type: str, arch: SDArch,
                  output_bypass: bool, bypass_unconstrained: bool,
                  alpha: float, num_view_tokens: int = 0,
                  ti_init_embed=None) -> Tuple[NeTIMapper, Any, Any]:
+    if ti_init_embed is not None:
+        # hashable static metadata (module defs ride jit treedefs)
+        ti_init_embed = tuple(float(x) for x in np.asarray(ti_init_embed))
     m = NeTIMapper(
         embedding_type=embedding_type,
         output_dim=cfg.model.word_embedding_dim,

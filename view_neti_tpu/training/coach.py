@@ -103,7 +103,7 @@ class Coach:
         self.trainable = self.built.trainable
 
         # ---- jit step ---------------------------------------------------
-        step_fn = make_train_step(self.built.frozen, self.optimizer,
+        step_fn = make_train_step(self.optimizer,
                                   compute_dtype=self.compute_dtype)
         if use_mesh and len(jax.devices()) > 1:
             self.mesh = pmesh.make_mesh()
@@ -236,7 +236,7 @@ class Coach:
                     object_idx=jnp.asarray(batch_np["object_idx"]))
                 step_fn = self._resolve_step(batch)
                 trainable, opt_state, metrics = step_fn(
-                    trainable, opt_state, batch, sub)
+                    trainable, opt_state, self.built.frozen, batch, sub)
                 micro_step += 1
                 timer.tick()
                 if micro_step % k == 0:

@@ -15,6 +15,7 @@ retraces the step.
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Optional, Tuple
 
@@ -26,27 +27,38 @@ from view_neti_tpu.models.clip_text import NeTICLIPTextEncoder
 from view_neti_tpu.models.neti_mapper import NeTIMapper, lookup_view_rows
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class TextModels:
-    """Static module definitions + frozen CLIP variables + lookup tables.
+    """Module definitions (static metadata) + frozen CLIP variables +
+    lookup tables (pytree data).
 
-    All jnp arrays here are frozen (never optimized):
+    Registered as a jax pytree so it can be passed AS AN ARGUMENT through
+    jit boundaries: closing over multi-GB frozen weights would inline them
+    as literal constants in the lowered program (jax warns at 4GB+ and the
+    remote TPU compiler rejects the resulting module).
+
+    Array fields (frozen, never optimized):
       clip_vars:  CLIP transformer params (incl. token embedding table)
       obj_constants / view_constants: mapper Fourier frequency matrices
       view_table_ids / view_table_params: view-token camera lookup
       obj_norm_scales: (N,) per-object-mapper target norms (or None)
     """
-    clip: NeTICLIPTextEncoder
-    clip_vars: Any
-    obj_mapper: Optional[NeTIMapper] = None
+    clip: NeTICLIPTextEncoder = dataclasses.field(
+        metadata=dict(static=True))
+    clip_vars: Any = None
+    obj_mapper: Optional[NeTIMapper] = dataclasses.field(
+        default=None, metadata=dict(static=True))
     obj_constants: Any = None
-    view_mapper: Optional[NeTIMapper] = None
+    view_mapper: Optional[NeTIMapper] = dataclasses.field(
+        default=None, metadata=dict(static=True))
     view_constants: Any = None
     view_table_ids: Any = None          # (V,) int32
     view_table_params: Any = None       # (V, C) float32, scaled
     obj_norm_scales: Any = None         # (N,) float32 or None
     view_norm_scale: Any = None         # scalar float or None
-    original_ti: bool = False
+    original_ti: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
 
 def _tile16(x: jnp.ndarray, K: int) -> jnp.ndarray:

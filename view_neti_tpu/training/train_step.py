@@ -47,30 +47,35 @@ class TrainBatch:
     object_idx: jnp.ndarray              # () int32 — mode-3 scene index
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class FrozenModels:
-    """Static modules + frozen variables for the SD stack."""
+    """Module definitions (static) + frozen variables (pytree data).
+
+    A registered pytree passed AS AN ARGUMENT to the jitted train step —
+    never closed over (closure capture would inline ~2GB of frozen SD
+    weights as literal HLO constants; see TextModels docstring)."""
     text: TextModels
-    unet: UNet2DCondition
-    unet_vars: Any
-    vae: AutoencoderKL
-    vae_vars: Any
-    schedule: DDPMSchedule
+    unet: UNet2DCondition = dataclasses.field(metadata=dict(static=True))
+    unet_vars: Any = None
+    vae: AutoencoderKL = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    vae_vars: Any = None
+    schedule: DDPMSchedule = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
 
-def make_train_step(frozen: FrozenModels,
-                    optimizer: optax.GradientTransformation,
+def make_train_step(optimizer: optax.GradientTransformation,
                     compute_dtype: jnp.dtype = jnp.float32,
                     ) -> Callable:
-    """Build the (un-jitted) train step closure over the frozen stack.
+    """Build the (un-jitted) train step.
 
-    Returns step(trainable, opt_state, batch, rng) ->
+    Returns step(trainable, opt_state, frozen: FrozenModels, batch, rng) ->
       (trainable, opt_state, metrics).
     """
-    schedule = frozen.schedule
 
-    def loss_fn(trainable, batch: TrainBatch, noisy, timesteps, target,
-                rng_drop):
+    def loss_fn(trainable, frozen, batch: TrainBatch, noisy, timesteps,
+                target, rng_drop):
         ctx, ctx_b = neti_text_conditioning(
             frozen.text, trainable,
             input_ids=batch.input_ids,
@@ -86,7 +91,9 @@ def make_train_step(frozen: FrozenModels,
         return jnp.mean(
             (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
-    def step(trainable, opt_state, batch: TrainBatch, rng):
+    def step(trainable, opt_state, frozen: FrozenModels, batch: TrainBatch,
+             rng):
+        schedule = frozen.schedule
         r_vae, r_noise, r_t, r_drop = jax.random.split(rng, 4)
         latents = frozen.vae.apply(
             frozen.vae_vars, batch.pixel_values.astype(compute_dtype), r_vae,
@@ -100,7 +107,7 @@ def make_train_step(frozen: FrozenModels,
         target = schedule.target(latents, noise, timesteps)
 
         loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, batch, noisy, timesteps, target, r_drop)
+            trainable, frozen, batch, noisy, timesteps, target, r_drop)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, {"total_loss": loss}
@@ -109,17 +116,21 @@ def make_train_step(frozen: FrozenModels,
 
 
 def jit_train_step(step_fn: Callable, mesh=None, batch_sharding=None,
-                   replicated=None) -> Callable:
+                   replicated=None, frozen_sharding=None) -> Callable:
     """jit with buffer donation; optionally constrained to a mesh.
 
-    With a mesh: trainable/opt_state replicated, batch sharded over 'dp'
-    (XLA inserts the psum for the gradient all-reduce automatically since
-    replicated outputs depend on dp-sharded inputs).
+    With a mesh: trainable/opt_state replicated, batch sharded over 'dp',
+    frozen weights per frozen_sharding (replicated or tp-sharded); XLA
+    inserts the psum for the gradient all-reduce automatically since
+    replicated outputs depend on dp-sharded inputs.
     """
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0, 1))
     return jax.jit(
         step_fn,
-        in_shardings=(replicated, replicated, batch_sharding, replicated),
+        in_shardings=(replicated, replicated,
+                      frozen_sharding if frozen_sharding is not None
+                      else replicated,
+                      batch_sharding, replicated),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=(0, 1))

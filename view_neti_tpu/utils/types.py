@@ -37,11 +37,12 @@ class NeTIBatch:
         default=None, metadata=dict(static=True))
 
 
-@dataclass
+@dataclass(frozen=True)
 class PESigmas:
     """Fourier-feature frequency scales (reference utils/types.py:17-24,
     with the reference's buggy `float`-type defaults replaced by real
-    values — see SURVEY.md §3.5)."""
+    values — see SURVEY.md §3.5). Frozen/hashable: PESigmas is static
+    metadata on jit-traversed module definitions."""
     sigma_t: float = 0.03
     sigma_l: float = 2.0
     sigma_theta: float = 1.0
