@@ -45,7 +45,10 @@ def main():
 
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    B = int(os.environ.get("BENCH_BATCH", "3"))
+    # default 9 = the fused accumulation window (train_batch_size 3 x
+    # grad_accum 3), matching the Coach's fuse_accumulation=True execution
+    # of the reference's mode-2 recipe
+    B = int(os.environ.get("BENCH_BATCH", "9"))
     if tiny:
         arch = builder.tiny_arch()
         H, W = 16, 16

@@ -207,6 +207,34 @@ class TestTrainStep:
         assert slice_diff(0) == 0 and slice_diff(2) == 0
 
 
+class TestLatentCache:
+    def test_from_moments_step_matches_shapes(self):
+        """from_moments=True trains from precomputed VAE posterior moments
+        (the latent-cache fast path)."""
+        from view_neti_tpu.models.vae import AutoencoderKL
+        cfg, built = _build(0)
+        frozen = built.frozen
+        pix = _batch(built, B=2).pixel_values
+        moments = frozen.vae.apply(frozen.vae_vars, pix,
+                                   method=AutoencoderKL.moments)
+        assert moments.shape == (2, IMG // 2, IMG // 2, 8)
+        opt = _optimizer(cfg, 0)
+        opt_state = opt.init(built.trainable)
+        step = jax.jit(make_train_step(opt, from_moments=True),
+                       donate_argnums=(0, 1))
+        b = _batch(built, B=2)
+        b = dataclasses.replace(b, pixel_values=moments)
+        trainable = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        trainable, opt_state, metrics = step(trainable, opt_state,
+                                             built.frozen, b,
+                                             jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["total_loss"]))
+        diff = jax.tree_util.tree_map(
+            lambda a, c: float(jnp.abs(a - c).sum()),
+            built.trainable["object"], trainable["object"])
+        assert sum(jax.tree_util.tree_leaves(diff)) > 0
+
+
 class TestMeshSharding:
     def test_dp_mesh_step(self):
         from view_neti_tpu.parallel import mesh as pmesh

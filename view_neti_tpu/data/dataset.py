@@ -366,5 +366,7 @@ class DataLoader:
                   "input_ids_placeholder_view"):
             batch[k] = np.stack([e[k] for e in examples])
         batch["object_idx"] = np.asarray(examples[0]["object_idx"])
+        batch["image_idxs"] = np.asarray(
+            [e["image_idx"] for e in examples], np.int32)
         batch["texts"] = [e["text"] for e in examples]
         return batch

@@ -39,8 +39,15 @@ from view_neti_tpu.training.text_forward import (TextModels,
 @jax.tree_util.register_dataclass
 @dataclass
 class TrainBatch:
-    """Device-side micro-batch (built host-side by the data pipeline)."""
-    pixel_values: jnp.ndarray            # (B, H, W, 3) in [-1, 1]
+    """Device-side micro-batch (built host-side by the data pipeline).
+
+    pixel_values carries images (B, H, W, 3) in [-1, 1], or — when the
+    Coach's latent cache is active (augmentation-free configs) —
+    precomputed VAE posterior moments (B, h, w, 8); the step is built with
+    from_moments=True in that case and skips the ~40%-of-step-time VAE
+    encoder entirely.
+    """
+    pixel_values: jnp.ndarray            # (B, H, W, 3) or (B, h, w, 8)
     input_ids: jnp.ndarray               # (B, L) int32
     input_ids_placeholder_object: jnp.ndarray   # (B,) int32, -1 if absent
     input_ids_placeholder_view: jnp.ndarray     # (B,) int32, -1 if absent
@@ -67,8 +74,12 @@ class FrozenModels:
 
 def make_train_step(optimizer: optax.GradientTransformation,
                     compute_dtype: jnp.dtype = jnp.float32,
+                    from_moments: bool = False,
                     ) -> Callable:
     """Build the (un-jitted) train step.
+
+    from_moments: batch.pixel_values holds precomputed VAE posterior
+    moments (mean|logvar); sample latents directly (latent cache).
 
     Returns step(trainable, opt_state, frozen: FrozenModels, batch, rng) ->
       (trainable, opt_state, metrics).
@@ -95,9 +106,17 @@ def make_train_step(optimizer: optax.GradientTransformation,
              rng):
         schedule = frozen.schedule
         r_vae, r_noise, r_t, r_drop = jax.random.split(rng, 4)
-        latents = frozen.vae.apply(
-            frozen.vae_vars, batch.pixel_values.astype(compute_dtype), r_vae,
-            method=AutoencoderKL.encode_sample)
+        if from_moments:
+            mean, logvar = jnp.split(
+                batch.pixel_values.astype(jnp.float32), 2, axis=-1)
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            eps = jax.random.normal(r_vae, mean.shape, jnp.float32)
+            latents = (mean + jnp.exp(0.5 * logvar) * eps) \
+                * frozen.vae.config.scaling_factor
+        else:
+            latents = frozen.vae.apply(
+                frozen.vae_vars, batch.pixel_values.astype(compute_dtype),
+                r_vae, method=AutoencoderKL.encode_sample)
         latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
         B = latents.shape[0]
