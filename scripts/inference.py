@@ -12,6 +12,7 @@ Usage:
       [--seeds 0 1 2] [--num_denoising_steps 30]
 """
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -43,11 +44,20 @@ def main():
         ckpt = args.exp_dir / f"mapper-steps-{args.iteration}_object.msgpack"
     cfg, _ = CheckpointHandler.load_mapper(ckpt)
     cfg.log.exp_dir = args.exp_dir
+    cfg.log.overwrite_ok = True
     cfg.eval.validation_seeds = list(args.seeds)
     cfg.eval.num_validation_images = len(args.seeds)
     cfg.eval.num_denoising_steps = args.num_denoising_steps
 
-    coach = Coach(cfg, calibration_dir=args.calibration_dir)
+    arch = None
+    if os.environ.get("VIEW_NETI_TINY"):
+        import jax
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        from view_neti_tpu.training import builder
+        arch = builder.tiny_arch()
+        cfg.model.word_embedding_dim = arch.text.hidden_size
+    coach = Coach(cfg, arch=arch, calibration_dir=args.calibration_dir)
     validator = ValidationHandler(cfg, masks_root=args.masks_root,
                                   calibration_dir=args.calibration_dir)
     results = validator.infer_dtu(

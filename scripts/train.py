@@ -48,6 +48,7 @@ def main():
         arch = builder.tiny_arch()
         cfg.model.word_embedding_dim = arch.text.hidden_size
         cfg.data.resolution = 16
+        cfg.data.dtu_preprocess_key = -1  # miniature DTU protocol
     coach = Coach(cfg, arch=arch, calibration_dir=calibration_dir,
                   weights_dir=weights_dir)
     coach.validator = ValidationHandler(

@@ -303,7 +303,11 @@ class TextualInversionDataset:
         image = Image.fromarray(img)
 
         if "dtu" in str(self.data_root):
-            if self.dtu_preprocess_key == 0:
+            if self.dtu_preprocess_key == -1:
+                # test-only miniature preprocessing (keeps the DTU 4:3
+                # aspect); not part of the reference surface
+                image = image.resize((64, 48), resample=self.interpolation)
+            elif self.dtu_preprocess_key == 0:
                 image = ImageOps.expand(image, (0, 0, 0, 400), fill="black")
                 assert image.size == (1600, 1600), image.size
                 image = image.resize((512, 512), resample=self.interpolation)

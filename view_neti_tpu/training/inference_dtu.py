@@ -53,7 +53,9 @@ def dtu_get_gt_images(cam_idxs: Sequence[int], train_data_dir,
         f = Path(train_data_dir) / dtu_mod.dtu_cam_and_lighting_to_fname(
             idx, dtu_lighting)
         image = Image.open(f)
-        if dtu_preprocess_key == 0:
+        if dtu_preprocess_key == -1:     # test-only miniature protocol
+            image = image.resize((64, 48))
+        elif dtu_preprocess_key == 0:
             image = ImageOps.expand(image, (0, 0, 0, 400), fill="black")
             assert image.size == (1600, 1600)
             image = image.resize((768, 768), Image.Resampling.BICUBIC)
@@ -312,7 +314,9 @@ def dtu_generate_camidxs_to_preds(
     else:
         object_token = cfg.data.fixed_object_token_or_path
 
-    if cfg.data.dtu_preprocess_key == 1:
+    if cfg.data.dtu_preprocess_key == -1:   # test-only miniature protocol
+        width, height = 64, 48
+    elif cfg.data.dtu_preprocess_key == 1:
         width, height = 768, 576
     else:
         width, height = 768, 768
