@@ -207,6 +207,73 @@ class TestTrainStep:
         assert slice_diff(0) == 0 and slice_diff(2) == 0
 
 
+class TestMode1ViewOnly:
+    def test_view_only_training(self):
+        """Mode 1: no object mapper; view mapper trains against a fixed
+        vocabulary word as the object."""
+        cfg, built = _build(1, n_view=3)
+        assert "object" not in built.trainable
+        assert built.placeholder_object_token_ids == []
+        opt = _optimizer(cfg, 1)
+        opt_state = opt.init(built.trainable)
+        step = jax.jit(make_train_step(opt), donate_argnums=(0, 1))
+        tok = built.tokenizer
+        view_id = built.placeholder_view_token_ids[0]
+        view_tok = built.view_table.tokens[0]
+        ids = tok(f"{view_tok}. A photo of a statue", padding="max_length",
+                  truncation=True, max_length=16).input_ids
+        ids = np.repeat(ids, 2, axis=0)
+        batch = TrainBatch(
+            pixel_values=jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+            input_ids=jnp.asarray(ids),
+            input_ids_placeholder_object=jnp.full((2,), -1, jnp.int32),
+            input_ids_placeholder_view=jnp.full((2,), view_id, jnp.int32),
+            object_idx=jnp.asarray(0, jnp.int32))
+        before = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        trainable = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        trainable, opt_state, metrics = step(trainable, opt_state,
+                                             built.frozen, batch,
+                                             jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["total_loss"]))
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()),
+            before["view"], trainable["view"])
+        assert sum(jax.tree_util.tree_leaves(diff)) > 0
+
+
+class TestPretrainedViewMapper:
+    def test_mode5_loads_saved_view_checkpoint(self, tmp_path):
+        """Train-ish a mode-2 view mapper, checkpoint it, rebuild mode 5
+        with pretrained_view_mapper: params must load from disk."""
+        from view_neti_tpu.checkpoint import CheckpointHandler
+        from view_neti_tpu.config import decode, RunConfig
+        cfg2, built2 = _build(2, n_view=3)
+        # perturb the view params so the checkpoint differs from fresh init
+        perturbed = jax.tree_util.tree_map(lambda p: p + 1.0,
+                                           built2.trainable["view"])
+        handler = CheckpointHandler(
+            cfg2, list(built2.view_table.tokens),
+            [int(i) for i in built2.view_table.token_ids],
+            ["<thing>"], built2.placeholder_object_token_ids,
+            save_root=tmp_path)
+        handler.save_mapper({"view": perturbed, "object": None},
+                            None, jax.device_get(
+                                built2.frozen.text.view_constants),
+                            built2.view_table, "mapper-steps-7.msgpack")
+        ckpt = tmp_path / "mapper-steps-7_view.msgpack"
+        assert ckpt.exists()
+
+        # mode-5 Coach-level loading goes through
+        # Coach._maybe_load_pretrained_mappers; exercise the underlying
+        # loader + parameter equality here (Coach needs a dataset)
+        _, payload = CheckpointHandler.load_mapper(ckpt)
+        loaded = payload["mappers"]["view"]["params"]
+        flat_a = jax.tree_util.tree_leaves(loaded)
+        flat_b = jax.tree_util.tree_leaves(jax.device_get(perturbed))
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 class TestLatentCache:
     def test_from_moments_step_matches_shapes(self):
         """from_moments=True trains from precomputed VAE posterior moments

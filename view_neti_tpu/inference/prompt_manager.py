@@ -25,7 +25,7 @@ from view_neti_tpu.training.text_forward import (TextModels,
 
 
 @functools.partial(jax.jit, static_argnames=("truncation_idx",))
-def _encode_chunk(models, trainable, ids, ph_obj, ph_view, ts,
+def _encode_chunk(models, trainable, ids, ph_obj, ph_view, ts, object_idx,
                   truncation_idx):
     """Batched text conditioning over a chunk of timesteps. `models` is a
     TextModels pytree argument — not closed over (multi-GB frozen weights
@@ -34,7 +34,7 @@ def _encode_chunk(models, trainable, ids, ph_obj, ph_view, ts,
         return neti_text_conditioning(
             models, trainable, ids, ph_obj, ph_view,
             jnp.full((ids.shape[0],), t, jnp.float32),
-            object_idx=jnp.asarray(0, jnp.int32),
+            object_idx=object_idx,
             train=False, truncation_idx=truncation_idx)
     return jax.vmap(one)(ts)
 
@@ -71,8 +71,12 @@ class PromptManager:
         return out
 
     def embed_prompt(self, text: str, truncation_idx: Optional[int] = None,
-                     chunk: int = 10) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (context, context_bypass), each (T, 16, 1, L, D)."""
+                     chunk: int = 10, object_idx: int = 0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (context, context_bypass), each (T, 16, 1, L, D).
+
+        object_idx selects the mode-3 object-mapper bank slice (the scene
+        whose token appears in the prompt)."""
         ids = self.tokenizer(
             text, padding="max_length", truncation=True,
             max_length=self.text_models.clip_vars["params"]
@@ -87,7 +91,7 @@ class PromptManager:
             c, cb = _encode_chunk(
                 self.text_models, self.trainable, jnp.asarray(ids),
                 jnp.asarray(ph_obj), jnp.asarray(ph_view), ts,
-                truncation_idx)
+                jnp.asarray(object_idx, jnp.int32), truncation_idx)
             ctxs.append(c)
             ctxbs.append(cb)
         ctx = jnp.concatenate(ctxs, axis=0).astype(self.dtype)

@@ -231,6 +231,11 @@ class Coach:
         self.logger.log_start_of_training(
             total_batch_size=total_batch_size,
             num_samples=len(self.train_dataset))
+        if len(self.train_dataset) < self.micro_batch_size:
+            raise ValueError(
+                f"dataset yields {len(self.train_dataset)} examples "
+                f"(num_images x repeats) < batch {self.micro_batch_size}; "
+                "raise data.repeats")
         loader = DataLoader(self.train_dataset,
                             batch_size=self.micro_batch_size,
                             shuffle=True, seed=cfg.seed)

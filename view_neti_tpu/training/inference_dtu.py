@@ -309,10 +309,13 @@ def dtu_generate_camidxs_to_preds(
 
     if eval_placeholder_object_token:
         object_token = eval_placeholder_object_token
-    elif cfg.learnable_mode in (2, 4, 5) or cfg.learnable_mode == 3:
+    elif cfg.learnable_mode in (2, 3, 4, 5):
         object_token = coach.placeholder_object_tokens[0]
     else:
         object_token = cfg.data.fixed_object_token_or_path
+    # mode-3 bank slice for the evaluated scene token
+    object_idx = (coach.placeholder_object_tokens.index(object_token)
+                  if object_token in coach.placeholder_object_tokens else 0)
 
     if cfg.data.dtu_preprocess_key == -1:   # test-only miniature protocol
         width, height = 64, 48
@@ -330,7 +333,7 @@ def dtu_generate_camidxs_to_preds(
     camidx_to_token = {i: t for i, t in lookup_tok.items()}
     for cam_idx in cam_idxs:
         prompt = f"{camidx_to_token[cam_idx]}. A photo of a {object_token}"
-        ctx, ctx_b = pm.embed_prompt(prompt)
+        ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)
         imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
                         frozen.vae_vars, schedule, ctx, ctx_b, uncond,
                         height, width, seeds, num_denoising_steps,

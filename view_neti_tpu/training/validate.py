@@ -105,10 +105,19 @@ class ValidationHandler:
             seeds=cfg.eval.validation_seeds,
             eval_placeholder_object_token=eval_placeholder_object_token,
             calibration_dir=self.calibration_dir)
+        # mode 3: GT comes from the evaluated scene's subdirectory
+        data_dir = Path(str(cfg.data.train_data_dir))
+        if (eval_placeholder_object_token
+                and cfg.learnable_mode == 3
+                and hasattr(coach.train_dataset,
+                            "lookup_object_to_placeholder_object_token")):
+            inv = {t: s for s, t in coach.train_dataset.
+                   lookup_object_to_placeholder_object_token.items()}
+            data_dir = data_dir / inv[eval_placeholder_object_token]
         gts = inference_dtu.dtu_get_gt_images(
-            cam_idxs, cfg.data.train_data_dir, cfg.data.dtu_lighting,
+            cam_idxs, data_dir, cfg.data.dtu_lighting,
             cfg.data.dtu_preprocess_key)
-        scan_idx = self._scan_idx()
+        scan_idx = self._scan_idx(data_dir)
         masks = inference_dtu.get_object_masks(
             cam_idxs, scan_idx, cfg.data.dtu_preprocess_key,
             masks_root=self.masks_root or inference_dtu.DTU_MASKS)
@@ -123,17 +132,20 @@ class ValidationHandler:
         if return_instead_of_save:
             return results
         out_dir = Path(cfg.log.exp_dir)
+        tag = (f"-{eval_placeholder_object_token}"
+               if eval_placeholder_object_token else "")
         for i, fig in enumerate(results["figures"]):
-            fig.savefig(out_dir / f"val-dtu-step{step}-seed{i}.png", dpi=150)
+            fig.savefig(out_dir / f"val-dtu-step{step}{tag}-seed{i}.png",
+                        dpi=150)
         metrics = {k: v for k, v in results.items()
                    if k.endswith("_mean")}
         coach.logger.log_metrics(
-            {f"val/{k}": v for k, v in metrics.items()}, step)
-        coach.logger.log_message(f"DTU val step {step}: {metrics}")
+            {f"val{tag}/{k}": v for k, v in metrics.items()}, step)
+        coach.logger.log_message(f"DTU val step {step}{tag}: {metrics}")
         return results
 
-    def _scan_idx(self) -> int:
-        name = Path(str(self.cfg.data.train_data_dir)).name
+    def _scan_idx(self, data_dir=None) -> int:
+        name = Path(str(data_dir or self.cfg.data.train_data_dir)).name
         digits = "".join(c for c in name if c.isdigit())
         return int(digits) if digits else 0
 
