@@ -151,9 +151,12 @@ class ValidationHandler:
 
     # ------------------------------------------------------------------
     def infer_mode3(self, coach, trainable, step: int,
-                    num_steps: int) -> Dict:
+                    num_steps: int, do_t2i_generalization: bool = True,
+                    do_disentangled: bool = True) -> Dict:
         """Per-object DTU sweeps for multi-scene pretraining (reference
-        validate.py:188-314)."""
+        validate.py:188-314), plus the optional T2I-generalization prompt
+        bank (validate.py:268-314) and object-token-only renders
+        (infer_disentangled_objects_dtu, validate.py:317-385)."""
         cfg = self.cfg
         tokens = (cfg.eval.eval_placeholder_object_tokens
                   or coach.placeholder_object_tokens[:1])
@@ -162,4 +165,62 @@ class ValidationHandler:
             all_results[tok] = self.infer_dtu(
                 coach, trainable, step, num_steps,
                 eval_placeholder_object_token=tok)
+        if do_disentangled:
+            self.infer_disentangled_objects_dtu(coach, trainable, step,
+                                                num_steps, tokens)
+        if do_t2i_generalization:
+            self._render_prompt_bank(coach, trainable, step, num_steps,
+                                     tokens, tag="t2i")
         return all_results
+
+    def infer_disentangled_objects_dtu(self, coach, trainable, step: int,
+                                       num_steps: int,
+                                       tokens: Sequence[str]) -> None:
+        """Object-token-only renders, no view conditioning (reference
+        validate.py:317-385)."""
+        self._render_prompt_bank(coach, trainable, step, num_steps, tokens,
+                                 tag="disentangled",
+                                 templates=["A photo of a {}"])
+
+    def _render_prompt_bank(self, coach, trainable, step: int,
+                            num_steps: int, tokens: Sequence[str],
+                            tag: str, templates=None) -> None:
+        from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
+        cfg = self.cfg
+        frozen = coach.built.frozen
+        text = frozen.text
+        templates = templates or cfg.eval.validation_prompts
+        if cfg.debug:
+            templates = templates[:1]
+        schedule = DPMSolverSchedule(
+            prediction_type=frozen.schedule.prediction_type)
+        ts = schedule.set_timesteps(num_steps)
+        pm = PromptManager(
+            coach.tokenizer, text, trainable, ts,
+            placeholder_view_token_ids=coach.built.
+            placeholder_view_token_ids,
+            placeholder_object_token_ids=coach.built.
+            placeholder_object_token_ids,
+            dtype=coach.compute_dtype)
+        uncond = encode_uncond(text.clip, text.clip_vars, coach.tokenizer)
+        # square renders at the model's native training resolution
+        res = 512 if cfg.data.dtu_preprocess_key != -1 else 32
+        denoise = make_denoise_fn(frozen.unet, None, schedule, num_steps,
+                                  7.5, coach.compute_dtype)
+        rows = []
+        for tok in tokens:
+            object_idx = (coach.placeholder_object_tokens.index(tok)
+                          if tok in coach.placeholder_object_tokens else 0)
+            for tmpl in templates:
+                prompt = tmpl.format(tok)
+                ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)
+                imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                                frozen.vae_vars, schedule, ctx, ctx_b,
+                                uncond, res, res,
+                                cfg.eval.validation_seeds, num_steps, 7.5,
+                                coach.compute_dtype, denoise_fn=denoise)
+                rows.append(np.concatenate(list(imgs), axis=1))
+        sheet = to_pil(np.concatenate(rows, axis=0))
+        out = Path(cfg.log.exp_dir) / f"val-{tag}-step{step}.png"
+        sheet.save(out)
+        coach.logger.log_message(f"saved {tag} sheet {out}")
