@@ -13,7 +13,7 @@ DPM-Solver++ stepping — redesigned TPU-first:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

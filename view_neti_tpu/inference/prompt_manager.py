@@ -13,13 +13,12 @@ which the jitted denoise loop indexes by step.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from view_neti_tpu.constants import NUM_UNET_LAYERS
 from view_neti_tpu.training.text_forward import (TextModels,
                                                  neti_text_conditioning)
 

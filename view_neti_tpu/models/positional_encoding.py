@@ -10,7 +10,7 @@ instead of generated.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

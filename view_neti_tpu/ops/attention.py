@@ -12,8 +12,6 @@ op only ever sees standard (q, k, v).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -23,7 +23,7 @@ Kernel design notes (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

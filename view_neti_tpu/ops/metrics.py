@@ -12,7 +12,7 @@ Protocol parity with the reference DTU evaluation
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

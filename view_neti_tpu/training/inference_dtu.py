@@ -20,14 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image, ImageOps
 
-from view_neti_tpu.constants import (DTU_MASKS, DTU_SPLIT_IDXS, UNET_LAYERS)
-from view_neti_tpu.checkpoint import CheckpointHandler, \
-    apply_learned_embeds_to_table
+from view_neti_tpu.constants import DTU_MASKS, DTU_SPLIT_IDXS
+from view_neti_tpu.checkpoint import CheckpointHandler
 from view_neti_tpu.data import dtu as dtu_mod
 from view_neti_tpu.inference.pipeline import (encode_uncond, generate,
                                               make_denoise_fn)
 from view_neti_tpu.inference.prompt_manager import PromptManager
-from view_neti_tpu.models.view_tokens import build_view_token_table
 from view_neti_tpu.ops import metrics as metrics_ops
 from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
 from view_neti_tpu.utils.vis import make_grid_np

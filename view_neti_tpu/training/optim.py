@@ -16,7 +16,7 @@ window — matching accelerate's loss/k scaling, reference coach.py:158,214).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

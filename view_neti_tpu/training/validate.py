@@ -14,19 +14,16 @@ SURVEY.md §3.5) is fixed deliberately: [None] is used.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
-import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
-from view_neti_tpu.constants import SD_INFERENCE_TIMESTEPS
 from view_neti_tpu.inference.pipeline import (encode_uncond, generate,
                                               make_denoise_fn)
 from view_neti_tpu.inference.prompt_manager import PromptManager
 from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
 from view_neti_tpu.training import inference_dtu
-from view_neti_tpu.utils.vis import get_image_grid, to_pil
+from view_neti_tpu.utils.vis import to_pil
 
 
 class ValidationHandler:

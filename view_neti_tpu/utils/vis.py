@@ -6,7 +6,7 @@ plus a torchless make_grid equivalent for the DTU result sheets
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -13,7 +13,7 @@ OIHW -> HWIO; GroupNorm/LayerNorm weight/bias -> scale/bias.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 
