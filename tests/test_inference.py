@@ -189,3 +189,36 @@ class TestWeightPortMapping:
             np.float32)
         out = wp._conv_k(conv)
         assert out.shape == (3, 3, 3, 2)
+
+
+class TestBatchedGeneration:
+    def test_generate_batch_matches_single(self, built_mode0):
+        """Batching C prompts must reproduce per-prompt generation exactly
+        (same seeds -> same initial latents per prompt)."""
+        from view_neti_tpu.inference.pipeline import generate_batch
+        cfg, tok, built = built_mode0
+        frozen = built.frozen
+        schedule = DPMSolverSchedule()
+        n_steps = 2
+        ts = schedule.set_timesteps(n_steps)
+        pm = PromptManager(
+            tok, frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        prompts = ["a photo of a <thing>", "a rendering of a <thing>"]
+        ctxs = [pm.embed_prompt(p) for p in prompts]
+        singles = [generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                            frozen.vae_vars, schedule, c, cb, uncond,
+                            16, 16, [0, 1], n_steps)
+                   for c, cb in ctxs]
+        import jax.numpy as jnp
+        contexts = jnp.concatenate([c for c, _ in ctxs], axis=2)
+        contexts_b = jnp.concatenate([cb for _, cb in ctxs], axis=2)
+        batched = generate_batch(frozen.unet, frozen.unet_vars, frozen.vae,
+                                 frozen.vae_vars, schedule, contexts,
+                                 contexts_b, uncond, 16, 16, [0, 1],
+                                 n_steps)
+        assert batched.shape == (2, 2, 16, 16, 3)
+        for ci in range(2):
+            np.testing.assert_array_equal(batched[ci], singles[ci])

@@ -34,6 +34,22 @@ _PIL_INTERP = {
 }
 
 
+def _resize(image: Image.Image, size_wh, interpolation) -> Image.Image:
+    """Resize via the native C++ library when built (2x faster on the
+    1-core TPU VM host, PIL-matching antialiased kernels), else PIL."""
+    import os
+    if not os.environ.get("VIEW_NETI_NO_NATIVE"):
+        from view_neti_tpu.data import native
+        if native.available() and interpolation in (
+                Image.Resampling.BICUBIC, Image.Resampling.BILINEAR):
+            mode = ("bicubic" if interpolation == Image.Resampling.BICUBIC
+                    else "bilinear")
+            arr = native.resize(np.asarray(image.convert("RGB")),
+                                size_wh[1], size_wh[0], mode)
+            return Image.fromarray(arr)
+    return image.resize(size_wh, resample=interpolation)
+
+
 class TextualInversionDataset:
     def __init__(self,
                  data_root: Union[str, Path],
@@ -306,22 +322,22 @@ class TextualInversionDataset:
             if self.dtu_preprocess_key == -1:
                 # test-only miniature preprocessing (keeps the DTU 4:3
                 # aspect); not part of the reference surface
-                image = image.resize((64, 48), resample=self.interpolation)
+                image = _resize(image, (64, 48), self.interpolation)
             elif self.dtu_preprocess_key == 0:
                 image = ImageOps.expand(image, (0, 0, 0, 400), fill="black")
                 assert image.size == (1600, 1600), image.size
-                image = image.resize((512, 512), resample=self.interpolation)
+                image = _resize(image, (512, 512), self.interpolation)
             elif self.dtu_preprocess_key == 1:
-                image = image.resize((512, 384), resample=self.interpolation)
+                image = _resize(image, (512, 384), self.interpolation)
             elif self.dtu_preprocess_key == 2:
-                image = image.resize((768, 576), resample=self.interpolation)
+                image = _resize(image, (768, 576), self.interpolation)
             else:
                 raise NotImplementedError(self.dtu_preprocess_key)
         elif "llff" in str(self.data_root):
             pass
         else:
-            image = image.resize((self.size, self.size),
-                                 resample=self.interpolation)
+            image = _resize(image, (self.size, self.size),
+                            self.interpolation)
 
         img_size = image.size
         if self.learnable_mode == 0 and self.rng.uniform() < self.flip_p:

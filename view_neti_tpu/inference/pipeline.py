@@ -43,6 +43,9 @@ def make_denoise_fn(unet, unet_vars_unused, schedule: DPMSolverSchedule,
     def denoise(latents, unet_vars, context, context_bypass, uncond_ctx):
         N = latents.shape[0]
         n_layers = context.shape[1]
+        n_ctx = context.shape[2]       # cams per batch (1 = single prompt)
+        assert N % n_ctx == 0, (N, n_ctx)
+        reps = N // n_ctx              # seeds per cam
         uncond = jnp.broadcast_to(
             uncond_ctx[None, :, :, :],
             (n_layers,) + uncond_ctx.shape).astype(compute_dtype)
@@ -52,12 +55,10 @@ def make_denoise_fn(unet, unet_vars_unused, schedule: DPMSolverSchedule,
         def body(i, carry):
             lat, x0_prev = carry
             t = jnp.full((N,), ts[i])
-            ctx = jnp.broadcast_to(
-                context[i][:, :1], (n_layers, N) + context.shape[3:]
-            ).astype(compute_dtype)
-            ctx_b = jnp.broadcast_to(
-                context_bypass[i][:, :1],
-                (n_layers, N) + context.shape[3:]).astype(compute_dtype)
+            # cam-major batch layout: [cam0*reps, cam1*reps, ...]
+            ctx = jnp.repeat(context[i], reps, axis=1).astype(compute_dtype)
+            ctx_b = jnp.repeat(context_bypass[i], reps,
+                               axis=1).astype(compute_dtype)
             if do_cfg:
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 t2 = jnp.concatenate([t, t], axis=0)
@@ -116,6 +117,41 @@ def generate(unet, unet_vars, vae, vae_vars, schedule: DPMSolverSchedule,
 def _decode_jit(vae, vae_vars, latents):
     from view_neti_tpu.models.vae import AutoencoderKL
     return vae.apply(vae_vars, latents, method=AutoencoderKL.decode)
+
+
+def generate_batch(unet, unet_vars, vae, vae_vars,
+                   schedule: DPMSolverSchedule,
+                   contexts: jnp.ndarray, contexts_bypass: jnp.ndarray,
+                   uncond_ctx: jnp.ndarray, height: int, width: int,
+                   seeds, num_inference_steps: int = 30,
+                   guidance_scale: float = 7.5,
+                   compute_dtype=jnp.float32,
+                   denoise_fn=None) -> np.ndarray:
+    """Batched multi-prompt generation: contexts (T, 16, C, L, D) carries C
+    prompts (e.g. C camera views); all C x len(seeds) images denoise in ONE
+    jitted loop. Returns (C, S, H, W, 3) uint8.
+
+    Seed semantics match the reference protocol: seed s produces the same
+    initial latents for every prompt (reference inference_dtu.py:354-356
+    reseeds the generator per seed)."""
+    from view_neti_tpu.models.vae import AutoencoderKL
+    if denoise_fn is None:
+        denoise_fn = make_denoise_fn(unet, None, schedule,
+                                     num_inference_steps, guidance_scale,
+                                     compute_dtype)
+    C = contexts.shape[2]
+    S = len(seeds)
+    scale = 2 ** (len(vae.config.channel_mults) - 1)
+    h, w = height // scale, width // scale
+    per_seed = [jax.random.normal(jax.random.PRNGKey(int(s)), (h, w, 4),
+                                  jnp.float32) for s in seeds]
+    lat0 = jnp.stack(per_seed * C)          # cam-major: [c0s0, c0s1, ...]
+    latents = denoise_fn(lat0, unet_vars, contexts, contexts_bypass,
+                         uncond_ctx)
+    imgs = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))
+    imgs = np.asarray(jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0, 1))
+    imgs = (imgs * 255).round().astype(np.uint8)
+    return imgs.reshape(C, S, *imgs.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnums=0)

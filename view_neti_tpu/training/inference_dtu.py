@@ -23,7 +23,8 @@ from PIL import Image, ImageOps
 from view_neti_tpu.constants import DTU_MASKS, DTU_SPLIT_IDXS
 from view_neti_tpu.checkpoint import CheckpointHandler
 from view_neti_tpu.data import dtu as dtu_mod
-from view_neti_tpu.inference.pipeline import (encode_uncond, generate,
+from view_neti_tpu.inference.pipeline import (encode_uncond,
+                                              generate_batch,
                                               make_denoise_fn)
 from view_neti_tpu.inference.prompt_manager import PromptManager
 from view_neti_tpu.ops import metrics as metrics_ops
@@ -329,13 +330,25 @@ def dtu_generate_camidxs_to_preds(
                               coach.compute_dtype)
     out: Dict[int, np.ndarray] = {}
     camidx_to_token = {i: t for i, t in lookup_tok.items()}
-    for cam_idx in cam_idxs:
-        prompt = f"{camidx_to_token[cam_idx]}. A photo of a {object_token}"
-        ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)
-        imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
-                        frozen.vae_vars, schedule, ctx, ctx_b, uncond,
-                        height, width, seeds, num_denoising_steps,
-                        guidance_scale, coach.compute_dtype,
-                        denoise_fn=denoise)
-        out[cam_idx] = imgs  # (n_seeds, H, W, 3) uint8
+    # batch several camera views through one denoise loop (TPU redesign:
+    # the reference runs one view at a time, inference_dtu.py:246-260)
+    vb = int(os.environ.get("VIEW_NETI_VIEW_BATCH", "4"))
+    for start in range(0, len(cam_idxs), vb):
+        chunk = list(cam_idxs[start:start + vb])
+        ctxs, ctxbs = [], []
+        for cam_idx in chunk:
+            prompt = (f"{camidx_to_token[cam_idx]}. "
+                      f"A photo of a {object_token}")
+            c, cb = pm.embed_prompt(prompt, object_idx=object_idx)
+            ctxs.append(c)
+            ctxbs.append(cb)
+        contexts = jnp.concatenate(ctxs, axis=2)       # (T, 16, C, L, D)
+        contexts_b = jnp.concatenate(ctxbs, axis=2)
+        imgs = generate_batch(
+            frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
+            schedule, contexts, contexts_b, uncond, height, width, seeds,
+            num_denoising_steps, guidance_scale, coach.compute_dtype,
+            denoise_fn=denoise if len(chunk) == vb else None)
+        for ci, cam_idx in enumerate(chunk):
+            out[cam_idx] = imgs[ci]  # (n_seeds, H, W, 3) uint8
     return out
