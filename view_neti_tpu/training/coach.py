@@ -222,6 +222,21 @@ class Coach:
                 self.logger.log_message(
                     f"pretrained view mapper {p} not found; "
                     "training from fresh init")
+        # pretrained object mapper (modes 1/2/3 with a checkpoint path,
+        # reference coach.py:553-557)
+        fot = cfg.data.fixed_object_token_or_path
+        if (cfg.learnable_mode in (1, 2, 3) and fot
+                and str(fot).endswith(".msgpack") and Path(fot).exists()):
+            _, payload = CheckpointHandler.load_mapper(Path(fot))
+            stacked = [payload["mappers"][t]["params"]
+                       for t in self.placeholder_object_tokens
+                       if t in payload["mappers"]]
+            if stacked:
+                self.built.trainable["object"] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *stacked)
+                self.logger.log_message(
+                    f"loaded pretrained object mapper {fot}")
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:

@@ -331,8 +331,10 @@ def dtu_generate_camidxs_to_preds(
     out: Dict[int, np.ndarray] = {}
     camidx_to_token = {i: t for i, t in lookup_tok.items()}
     # batch several camera views through one denoise loop (TPU redesign:
-    # the reference runs one view at a time, inference_dtu.py:246-260)
-    vb = int(os.environ.get("VIEW_NETI_VIEW_BATCH", "4"))
+    # the reference runs one view at a time, inference_dtu.py:246-260).
+    # On one chip the 2xCFG x 3-seed batch already saturates the MXU, so
+    # the default is 1; raise it when dp-sharding inference across chips.
+    vb = int(os.environ.get("VIEW_NETI_VIEW_BATCH", "1"))
     for start in range(0, len(cam_idxs), vb):
         chunk = list(cam_idxs[start:start + vb])
         ctxs, ctxbs = [], []
