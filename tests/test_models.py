@@ -204,3 +204,24 @@ class TestUNet:
         o1 = np.asarray(unet.apply(vars_, latents, jnp.array([10.0]), ctx))
         o2 = np.asarray(unet.apply(vars_, latents, jnp.array([900.0]), ctx))
         assert not np.allclose(o1, o2)
+
+
+class TestGradientCheckpointing:
+    def test_remat_unet_matches_plain(self):
+        """gradient_checkpointing=True must not change the forward values."""
+        cfg = tiny_unet_config()
+        cfg_r = tiny_unet_config(gradient_checkpointing=True)
+        unet = UNet2DCondition(cfg)
+        unet_r = UNet2DCondition(cfg_r)
+        latents = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+        t = jnp.array([500.0])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (16, 1, 8, 32))
+        vars_ = unet.init(jax.random.PRNGKey(2), latents, t, ctx, ctx)
+        out = unet.apply(vars_, latents, t, ctx, ctx)
+        out_r = unet_r.apply(vars_, latents, t, ctx, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                                   atol=1e-5)
+        # gradients flow through the remat path
+        g = jax.grad(lambda c: jnp.sum(
+            unet_r.apply(vars_, latents, t, c, c) ** 2))(ctx)
+        assert float(jnp.abs(g).sum()) > 0
