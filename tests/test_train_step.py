@@ -344,3 +344,47 @@ class TestGradAccum:
         # no param change until the 3rd micro-batch
         assert snapshots[0] == 0 and snapshots[1] == 0
         assert snapshots[2] > 0
+
+
+class TestSphericalCameras:
+    def test_mode2_spherical_train_step(self):
+        """Spherical <view_theta_phi_r> tokens: table auto-detects the
+        degree of freedom and the train step runs end-to-end."""
+        from view_neti_tpu.config import RunConfig, decode
+        from view_neti_tpu.tokenizer import FallbackTokenizer
+        cfg = decode(RunConfig, {
+            "learnable_mode": 2,
+            "model": {"arch_view_net": 15, "arch_view_disable_tl": False,
+                      "word_embedding_dim": 32},
+            "data": {"camera_representation": "spherical"}})
+        tok = FallbackTokenizer(base_vocab_size=512)
+        view_tokens = ["<view_30_0_1p2>", "<view_30_45_1p2>",
+                       "<view_30_90_1p2>"]
+        built = builder.build_models(cfg, tok, view_tokens, ["<thing>"],
+                                     arch=builder.tiny_arch())
+        assert built.view_table.deg_freedom == "phi"
+        assert built.frozen.text.view_table_params.shape == (3, 1)
+        opt = _optimizer(cfg, 2)
+        opt_state = opt.init(built.trainable)
+        step = jax.jit(make_train_step(opt), donate_argnums=(0, 1))
+        view_id = built.placeholder_view_token_ids[1]
+        obj_id = built.placeholder_object_token_ids[0]
+        ids = tok("<view_30_45_1p2>. A photo of a <thing>",
+                  padding="max_length", truncation=True,
+                  max_length=16).input_ids
+        ids = np.repeat(ids, 2, axis=0)
+        batch = TrainBatch(
+            pixel_values=jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+            input_ids=jnp.asarray(ids),
+            input_ids_placeholder_object=jnp.full((2,), obj_id, jnp.int32),
+            input_ids_placeholder_view=jnp.full((2,), view_id, jnp.int32),
+            object_idx=jnp.asarray(0, jnp.int32))
+        trainable = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        trainable, opt_state, metrics = step(trainable, opt_state,
+                                             built.frozen, batch,
+                                             jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["total_loss"]))
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()),
+            built.trainable["view"], trainable["view"])
+        assert sum(jax.tree_util.tree_leaves(diff)) > 0
