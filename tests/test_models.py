@@ -207,6 +207,29 @@ class TestUNet:
 
 
 class TestGradientCheckpointing:
+    def test_remat_clip_matches_plain(self):
+        """CLIP-layer remat (optim.gradient_checkpointing; reference
+        coach.py:672-677) must not change forward values and must carry
+        gradients."""
+        import dataclasses
+        cfg_r = dataclasses.replace(TINY_TEXT, gradient_checkpointing=True)
+        model = NeTICLIPTextEncoder(TINY_TEXT)
+        model_r = NeTICLIPTextEncoder(cfg_r)
+        ids = jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (2, 16)), jnp.int32)
+        vars_ = model.init(jax.random.PRNGKey(0), ids)
+        h, _, pooled, _ = model.apply(vars_, ids)
+        h_r, _, pooled_r, _ = model_r.apply(vars_, ids)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled_r),
+                                   atol=1e-5)
+        word = jnp.zeros((2, 32))
+        ids = ids.at[0, 3].set(5)  # placeholder id must appear in the prompt
+        ph = jnp.asarray([5, -1], jnp.int32)
+        g = jax.grad(lambda w: jnp.sum(model_r.apply(
+            vars_, ids, word_obj=w, ph_obj_ids=ph)[0] ** 2))(word)
+        assert float(jnp.abs(g).sum()) > 0
+
     def test_remat_unet_matches_plain(self):
         """gradient_checkpointing=True must not change the forward values."""
         cfg = tiny_unet_config()

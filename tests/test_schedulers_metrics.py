@@ -64,6 +64,28 @@ class TestDPMSolver:
         # and the residual noise has shrunk dramatically vs the start
         assert err < 0.05 * float(jnp.abs(eps_true).max())
 
+    def test_lower_order_final_gate(self):
+        """diffusers applies the final-step first-order fallback only when
+        num_steps < 15; at 30 steps (the reference's protocol) the last step
+        must stay second-order, i.e. depend on x0_prev."""
+        s = DPMSolverSchedule()
+        rng = np.random.RandomState(0)
+        sample = jnp.asarray(rng.randn(2, 8), jnp.float32)
+        out = jnp.asarray(rng.randn(2, 8), jnp.float32)
+        prev_a = jnp.asarray(rng.randn(2, 8), jnp.float32)
+        prev_b = jnp.asarray(rng.randn(2, 8), jnp.float32)
+
+        def last_step(n, prev):
+            ts = s.set_timesteps(n)
+            coeffs = s.coefficients(ts)
+            x, _ = s.step(out, jnp.asarray(n - 1), sample, prev, coeffs, n)
+            return np.asarray(x)
+
+        # 30 steps: second-order at the last step -> depends on x0_prev
+        assert np.abs(last_step(30, prev_a) - last_step(30, prev_b)).max() > 1e-6
+        # 10 steps: first-order fallback -> independent of x0_prev
+        np.testing.assert_allclose(last_step(10, prev_a), last_step(10, prev_b))
+
     def test_consistency_with_ddpm_schedule(self):
         dpm = DPMSolverSchedule()
         ddpm = DDPMSchedule()

@@ -42,6 +42,9 @@ class CLIPTextConfig:
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
     hidden_act: str = "quick_gelu"     # "quick_gelu" (SD1.x) | "gelu" (SD2.x)
+    # rematerialize encoder layers on the backward pass (the reference's
+    # text_encoder.gradient_checkpointing_enable(), coach.py:672-677)
+    gradient_checkpointing: bool = False
 
     @property
     def total_vocab(self) -> int:
@@ -197,9 +200,11 @@ class NeTICLIPTextEncoder(nn.Module):
             jnp.full((L, L), jnp.finfo(jnp.float32).min, jnp.float32), k=1)
         causal = causal[None, None]
 
+        layer_cls = (nn.remat(CLIPEncoderLayer) if cfg.gradient_checkpointing
+                     else CLIPEncoderLayer)
         for i in range(cfg.num_layers):
-            x = CLIPEncoderLayer(cfg, dtype=self.dtype,
-                                 name=f"layers_{i}")(x, causal)
+            x = layer_cls(cfg, dtype=self.dtype,
+                          name=f"layers_{i}")(x, causal)
 
         hidden = x
         hidden_bypass = hidden

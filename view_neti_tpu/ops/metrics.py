@@ -153,15 +153,18 @@ class LPIPS(nn.Module):
         fb = vgg(b)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa / jnp.sqrt(
-                jnp.sum(xa ** 2, axis=-1, keepdims=True) + 1e-10)
-            nb = xb / jnp.sqrt(
-                jnp.sum(xb ** 2, axis=-1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: x / (||x||_c + eps), eps OUTSIDE the
+            # sqrt (lpips package semantics; pretrained lin weights are
+            # non-negative so no abs/clamp is applied at inference)
+            na = xa / (jnp.sqrt(
+                jnp.sum(xa ** 2, axis=-1, keepdims=True)) + 1e-10)
+            nb = xb / (jnp.sqrt(
+                jnp.sum(xb ** 2, axis=-1, keepdims=True)) + 1e-10)
             d = (na - nb) ** 2
             w = self.param(f"lin{i}", nn.initializers.ones,
                            (1, 1, 1, d.shape[-1]), jnp.float32)
             total = total + jnp.mean(
-                jnp.sum(d * jnp.abs(w), axis=-1), axis=(1, 2))
+                jnp.sum(d * w, axis=-1), axis=(1, 2))
         return total
 
 

@@ -107,6 +107,10 @@ class DPMSolverSchedule:
         second = self.second_order_update(x0, x0_prev, sample, alpha, sigma,
                                           lam, jnp.maximum(i, 1))
         use_first = (i == 0)
-        if self.lower_order_final:
+        # diffusers applies the final-step first-order fallback only for short
+        # schedules (len(timesteps) < 15, scheduling_dpmsolver_multistep.py);
+        # the reference runs 30 steps (reference training/validate.py:568-573)
+        # so its last step stays second-order.
+        if self.lower_order_final and num_steps < 15:
             use_first = use_first | (i == num_steps - 1)
         return jnp.where(use_first, first, second), x0

@@ -31,16 +31,20 @@ import numpy as np
 CLIP_VOCAB_SIZE = 49408
 CLIP_MAX_LENGTH = 77
 
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+"""
-    r"""|[\p{N}]|[^\s\p{L}\p{N}]+""", re.IGNORECASE) if False else None
-
-# Python `re` lacks \p classes; use the equivalent ASCII+unicode-word pattern
-# that matches CLIP's tokenizer behavior for practical prompts.
-_CLIP_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+",
-    re.IGNORECASE | re.UNICODE)
+# CLIP's exact split pattern needs \p{L}/\p{N} classes, which the stdlib
+# `re` lacks. The `regex` module (a transformers dependency) provides them;
+# fall back to the closest stdlib approximation when it is absent.
+try:
+    import regex as _regex
+    _CLIP_PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE)
+except ImportError:  # pragma: no cover
+    _CLIP_PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+        re.IGNORECASE | re.UNICODE)
 
 
 @lru_cache()
@@ -60,7 +64,12 @@ def _bytes_to_unicode() -> Dict[int, str]:
 
 
 def _whitespace_clean(text: str) -> str:
+    """Approximate ftfy.fix_text + whitespace_clean on already-sane text
+    (HF CLIPTokenizer._tokenize): double html-unescape, NFC normalize,
+    collapse whitespace."""
+    import unicodedata
     text = html.unescape(html.unescape(text))
+    text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip()
 

@@ -64,6 +64,15 @@ def resolve_arch(name: str, word_embedding_dim: int) -> SDArch:
     return arch
 
 
+def with_gradient_checkpointing(arch: SDArch) -> SDArch:
+    """Enable remat on the UNet + CLIP encoder layers (the reference's
+    optim.gradient_checkpointing applies to both, coach.py:672-677)."""
+    return dataclasses.replace(
+        arch,
+        unet=dataclasses.replace(arch.unet, gradient_checkpointing=True),
+        text=dataclasses.replace(arch.text, gradient_checkpointing=True))
+
+
 def tiny_arch(ctx_dim: int = 32) -> SDArch:
     """Miniature stack for tests and the multi-chip dry run."""
     from view_neti_tpu.models.unet import tiny_unet_config

@@ -53,6 +53,8 @@ class Coach:
         self.arch = arch or builder.resolve_arch(
             cfg.model.pretrained_model_name_or_path,
             cfg.model.word_embedding_dim)
+        if cfg.optim.gradient_checkpointing:
+            self.arch = builder.with_gradient_checkpointing(self.arch)
         self.tokenizer = load_tokenizer(cfg.data.tokenizer_path)
         from view_neti_tpu.tokenizer import FallbackTokenizer
         if (isinstance(self.tokenizer, FallbackTokenizer)
@@ -246,6 +248,8 @@ class Coach:
         self.logger.log_start_of_training(
             total_batch_size=total_batch_size,
             num_samples=len(self.train_dataset))
+        if cfg.log.save_dataset_images:
+            self.save_dataset_images()
         if len(self.train_dataset) < self.micro_batch_size:
             raise ValueError(
                 f"dataset yields {len(self.train_dataset)} examples "
@@ -363,6 +367,42 @@ class Coach:
                 replicated=self._rep)
         return self.train_step
 
+    def save_dataset_images(self) -> None:
+        """Contact sheet of the first <=100 training images at startup
+        (reference coach.py:478-490)."""
+        from PIL import Image
+        from view_neti_tpu.utils.vis import downsample_image, get_image_grid
+        n_max = 100
+        fnames = self.train_dataset.image_paths_flattened
+        if len(fnames) > n_max:
+            fnames = fnames[:n_max]
+            save_name = "dataset_first_100.png"
+        else:
+            save_name = "dataset.png"
+        images = [Image.open(f).convert("RGB") for f in fnames]
+        grid = downsample_image(get_image_grid(images), 0.2)
+        out = Path(self.cfg.log.exp_dir) / save_name
+        out.parent.mkdir(parents=True, exist_ok=True)
+        grid.save(out)
+        self.logger.log_message(f"saved dataset contact sheet {out}")
+
+    def _prune_old_checkpoints(self) -> None:
+        """Keep only the newest log.checkpoints_total_limit step checkpoints
+        (accelerate's checkpoints_total_limit semantics; reference
+        training/config.py:29). Final checkpoints are never pruned."""
+        limit = self.cfg.log.checkpoints_total_limit
+        if not limit:
+            return
+        root = Path(self.cfg.log.exp_dir)
+        steps = sorted({
+            int(p.name.split("-steps-")[1].split(".")[0].split("_")[0])
+            for p in root.glob("*-steps-*.msgpack")})
+        for step in steps[:-limit]:
+            for p in root.glob(f"*-steps-{step}.msgpack"):
+                p.unlink()
+            for p in root.glob(f"*-steps-{step}_*.msgpack"):
+                p.unlink()
+
     def _save(self, trainable, embeds_name: str, mapper_name: str) -> None:
         text = self.built.frozen.text
         token_table = jax.device_get(
@@ -377,6 +417,8 @@ class Coach:
             mapper_save_name=mapper_name)
         self.logger.log_message(f"saved checkpoint at step "
                                 f"{self.global_step}")
+        if "steps" in embeds_name:
+            self._prune_old_checkpoints()
 
     def _should_save(self) -> bool:
         return self.global_step % self.cfg.log.save_steps == 0

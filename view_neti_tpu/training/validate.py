@@ -25,6 +25,30 @@ from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
 from view_neti_tpu.training import inference_dtu
 from view_neti_tpu.utils.vis import to_pil
 
+MAX_SHEET_ROWS = 14  # reference validate.py:39 (max_rows)
+
+
+def select_validation_view_tokens(placeholder_view_tokens,
+                                  validation_view_tokens,
+                                  is_dtu: bool,
+                                  max_rows: int = MAX_SHEET_ROWS):
+    """Pick the view tokens for the validation prompt sheet.
+
+    Parity with reference validate.py:456-467: explicit
+    eval.validation_view_tokens wins; otherwise sub-sample large vocabularies
+    (every 30th beyond 100 tokens; every 3rd beyond 15 on DTU) and cap at
+    max_rows - 1 rows.
+    """
+    if validation_view_tokens is not None:
+        view_tokens = list(validation_view_tokens)
+    else:
+        view_tokens = list(placeholder_view_tokens)
+    if len(view_tokens) > 100:
+        view_tokens = view_tokens[::30]
+    if is_dtu and len(view_tokens) > 15:
+        view_tokens = view_tokens[::3]
+    return view_tokens[:max_rows - 1]
+
 
 class ValidationHandler:
     def __init__(self, cfg, masks_root: Optional[str] = None,
@@ -37,17 +61,58 @@ class ValidationHandler:
 
     # ------------------------------------------------------------------
     def infer(self, coach, trainable, step: int) -> Optional[Dict]:
-        """Dispatch per learnable mode (reference validate.py:388-437)."""
+        """Dispatch per learnable mode (reference validate.py:388-437):
+        mode 3 -> per-scene DTU sweeps; DTU view vocab -> DTU sweep +
+        disentangled object renders (reference :414-423); mode 0 -> prompt
+        bank; non-DTU modes 1/2/4/5 -> view-token prompt sheet
+        (reference :456-497)."""
         cfg = self.cfg
         if cfg.debug:
             num_steps = 2
         else:
             num_steps = cfg.eval.num_denoising_steps
-        if cfg.learnable_mode == 0:
-            return self.infer_mode0(coach, trainable, step, num_steps)
         if cfg.learnable_mode == 3:
             return self.infer_mode3(coach, trainable, step, num_steps)
-        return self.infer_dtu(coach, trainable, step, num_steps)
+        if self._is_dtu(coach):
+            results = self.infer_dtu(coach, trainable, step, num_steps)
+            # reference validate.py:419-423 runs the disentangled object
+            # renders for every non-mode-3 DTU run too
+            if coach.placeholder_object_tokens:
+                self.infer_disentangled_objects_dtu(
+                    coach, trainable, step, num_steps,
+                    coach.placeholder_object_tokens)
+            return results
+        if cfg.learnable_mode == 0:
+            return self.infer_mode0(coach, trainable, step, num_steps)
+        return self.infer_prompt_sheet(coach, trainable, step, num_steps)
+
+    @staticmethod
+    def _is_dtu(coach) -> bool:
+        """DTU iff the view vocabulary is DTU-coded (reference
+        validate.py:51-54)."""
+        toks = coach.placeholder_view_tokens
+        return bool(toks) and "dtu" in toks[0]
+
+    # ------------------------------------------------------------------
+    def infer_prompt_sheet(self, coach, trainable, step: int,
+                           num_steps: int) -> Dict:
+        """View-token prompt grid for non-DTU modes 1/2/4/5 (reference
+        validate.py:456-497): one row per (sub-sampled) view token, plus a
+        view-free row for modes with a learnable object."""
+        cfg = self.cfg
+        view_tokens = select_validation_view_tokens(
+            coach.placeholder_view_tokens, cfg.eval.validation_view_tokens,
+            is_dtu=False)
+        if cfg.learnable_mode == 1:
+            obj = coach.train_dataset.fixed_object_token
+            prompts = [f"{v}. A photo of a {obj}" for v in view_tokens]
+        else:
+            obj = coach.placeholder_object_tokens[0]
+            prompts = [f"A photo of a {obj}"]
+            prompts += [f"{v}. A photo of a {obj}" for v in view_tokens]
+        out = Path(cfg.log.exp_dir) / f"val-image-{step}.png"
+        self._render_prompts(coach, trainable, num_steps, prompts, out)
+        return {"sheet": str(out), "prompts": prompts}
 
     # ------------------------------------------------------------------
     def infer_mode0(self, coach, trainable, step: int,
@@ -174,7 +239,10 @@ class ValidationHandler:
                                        num_steps: int,
                                        tokens: Sequence[str]) -> None:
         """Object-token-only renders, no view conditioning (reference
-        validate.py:317-385)."""
+        validate.py:317-385, incl. the >10-token sub-sampling at :335-337)."""
+        tokens = list(tokens)
+        if len(tokens) > 10:
+            tokens = tokens[::3][:10]
         self._render_prompt_bank(coach, trainable, step, num_steps, tokens,
                                  tag="disentangled",
                                  templates=["A photo of a {}"])
@@ -182,13 +250,24 @@ class ValidationHandler:
     def _render_prompt_bank(self, coach, trainable, step: int,
                             num_steps: int, tokens: Sequence[str],
                             tag: str, templates=None) -> None:
-        from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
         cfg = self.cfg
-        frozen = coach.built.frozen
-        text = frozen.text
         templates = templates or cfg.eval.validation_prompts
         if cfg.debug:
             templates = templates[:1]
+        prompts = [tmpl.format(tok) for tok in tokens for tmpl in templates]
+        out = Path(cfg.log.exp_dir) / f"val-{tag}-step{step}.png"
+        self._render_prompts(coach, trainable, num_steps, prompts, out,
+                             tag=tag)
+
+    def _render_prompts(self, coach, trainable, num_steps: int,
+                        prompts: Sequence[str], out_path: Path,
+                        tag: str = "validation") -> None:
+        """Render each prompt across the validation seeds; one row per
+        prompt, stacked into a sheet at out_path. The mode-3 object-mapper
+        slice is resolved from the object token found in each prompt."""
+        cfg = self.cfg
+        frozen = coach.built.frozen
+        text = frozen.text
         schedule = DPMSolverSchedule(
             prediction_type=frozen.schedule.prediction_type)
         ts = schedule.set_timesteps(num_steps)
@@ -205,19 +284,19 @@ class ValidationHandler:
         denoise = make_denoise_fn(frozen.unet, None, schedule, num_steps,
                                   7.5, coach.compute_dtype)
         rows = []
-        for tok in tokens:
-            object_idx = (coach.placeholder_object_tokens.index(tok)
-                          if tok in coach.placeholder_object_tokens else 0)
-            for tmpl in templates:
-                prompt = tmpl.format(tok)
-                ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)
-                imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
-                                frozen.vae_vars, schedule, ctx, ctx_b,
-                                uncond, res, res,
-                                cfg.eval.validation_seeds, num_steps, 7.5,
-                                coach.compute_dtype, denoise_fn=denoise)
-                rows.append(np.concatenate(list(imgs), axis=1))
+        for prompt in prompts:
+            object_idx = 0
+            for i, tok in enumerate(coach.placeholder_object_tokens or ()):
+                if tok in prompt:
+                    object_idx = i
+                    break
+            ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)
+            imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                            frozen.vae_vars, schedule, ctx, ctx_b,
+                            uncond, res, res,
+                            cfg.eval.validation_seeds, num_steps, 7.5,
+                            coach.compute_dtype, denoise_fn=denoise)
+            rows.append(np.concatenate(list(imgs), axis=1))
         sheet = to_pil(np.concatenate(rows, axis=0))
-        out = Path(cfg.log.exp_dir) / f"val-{tag}-step{step}.png"
-        sheet.save(out)
-        coach.logger.log_message(f"saved {tag} sheet {out}")
+        sheet.save(out_path)
+        coach.logger.log_message(f"saved {tag} sheet {out_path}")
