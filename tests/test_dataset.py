@@ -70,6 +70,46 @@ class TestMode0:
         assert batch["input_ids"].shape == (3, 77)
         assert batch["input_ids"].dtype == np.int32
 
+    def test_base_cache_reuses_decode(self):
+        """The decode+resize prefix caches per file; repeated draws come
+        from the cache and stay identical when augmentation is off."""
+        tok = FallbackTokenizer()
+        ds = TextualInversionDataset(
+            data_root=TEAPOT, tokenizer=tok, camera_representation="spherical",
+            learnable_mode=0, placeholder_object_token="<t>", size=32,
+            repeats=2, flip_p=0.0)
+        tok.add_tokens(ds.placeholder_tokens)
+        a = ds[0]["pixel_values"]
+        assert len(ds._base_cache) == 1
+        b = ds[0]["pixel_values"]
+        np.testing.assert_array_equal(a, b)
+        # augmented draws still vary (cache holds the pre-augment base)
+        ds2 = TextualInversionDataset(
+            data_root=TEAPOT, tokenizer=tok, camera_representation="spherical",
+            learnable_mode=0, placeholder_object_token="<t>", size=32,
+            repeats=2, flip_p=0.0, augmentation_key=7)
+        draws = [ds2[0]["pixel_values"] for _ in range(4)]
+        assert any(not np.array_equal(draws[0], d) for d in draws[1:])
+
+    def test_skip_pixels_drops_decode(self):
+        """With the latent cache active the Coach flips skip_pixels: items
+        and batches carry ids/caption only — no image decode."""
+        tok = FallbackTokenizer()
+        ds = TextualInversionDataset(
+            data_root=TEAPOT, tokenizer=tok, camera_representation="spherical",
+            learnable_mode=0, placeholder_object_token="<t>", size=32,
+            repeats=2)
+        tok.add_tokens(ds.placeholder_tokens)
+        ds.skip_pixels = True
+        ex = ds[0]
+        assert "pixel_values" not in ex
+        assert ex["input_ids"].shape == (77,)
+        batch = next(iter(DataLoader(ds, batch_size=3, seed=0)))
+        assert "pixel_values" not in batch
+        assert batch["image_idxs"].shape == (3,)
+        ds.skip_pixels = False
+        assert ds[0]["pixel_values"].shape == (32, 32, 3)
+
 
 class TestDTUModes:
     def test_mode2_scan(self, tmp_path):

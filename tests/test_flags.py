@@ -81,6 +81,25 @@ class TestCheckpointsTotalLimit:
         assert len(list(tmp_path.glob("*.msgpack"))) == 3
 
 
+@pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
+class TestPrefetchTraining:
+    def test_train_uses_prefetch_and_cache_skips_decode(self, tmp_path):
+        """Coach.train wires the PrefetchLoader (VERDICT r1 item 3) and,
+        with the latent cache active, stops decoding images it throws
+        away (dataset.skip_pixels)."""
+        coach = _tiny_coach(tmp_path, **{
+            "data.flip_p": 0.0,            # enables the latent cache
+            "optim.gradient_accumulation_steps": 1,
+            "optim.train_batch_size": 2,
+            "optim.max_train_steps": 2})
+        assert coach.cache_latents
+        result = coach.train()
+        assert result["steps"] == 2
+        assert np.isfinite(result["final_loss"])
+        assert coach.train_dataset.skip_pixels
+        assert coach._latent_cache is not None
+
+
 class TestValidationDispatch:
     """infer() routing parity (reference validate.py:388-437): mode 3 ->
     infer_mode3; DTU vocab -> infer_dtu + disentangled; mode 0 -> prompt

@@ -74,6 +74,57 @@ def test_backward_padded_kv():
                                    atol=5e-4, rtol=5e-4, err_msg=name)
 
 
+class TestProductionShapes:
+    """The real inference protocol runs 768x576 (reference
+    inference_dtu.py:238-240) -> 96x72 latents -> Lq=6912 self-attention and
+    6912x77 cross-attention at head_dim 40 (SD1.5 level-0 blocks)."""
+
+    def test_cross_attention_768x576(self):
+        q, k, v = _rand_qkv(Lq=6912, Lk=77, H=1, d=40)
+        ref = mha_jnp(q, k, v)
+        out = fa.flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_self_attention_768x576(self):
+        q, k, v = _rand_qkv(Lq=6912, Lk=6912, H=1, d=40)
+        ref = mha_jnp(q, k, v)
+        out = fa.flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_mid_level_1728_whole_axis_block(self):
+        """48x36=1728 has no 128-multiple divisor <= 256; the kernel must
+        handle a whole-axis query block."""
+        q, k, v = _rand_qkv(Lq=1728, Lk=1728, H=1, d=16)
+        ref = mha_jnp(q, k, v)
+        out = fa.flash_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+class TestFallbackGate:
+    def test_unsupported_shape_warns_once_and_returns_none(self):
+        fa._fallback_warned.clear()
+        # 12x9=108 latents (deepest level at 768x576): Lq % 8 != 0
+        q, k, v = _rand_qkv(Lq=108, Lk=108, H=1, d=16)
+        with pytest.warns(UserWarning, match="falling back to jnp"):
+            assert fa.flash_attention_compat(q, k, v) is None
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # second call must NOT warn
+            assert fa.flash_attention_compat(q, k, v) is None
+
+    def test_supported_shape_does_not_warn(self):
+        fa._fallback_warned.clear()
+        q, k, v = _rand_qkv(Lq=64, Lk=64, H=1, d=16)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = fa.flash_attention_compat(q, k, v)
+        assert out is not None
+
+
 def test_pick_block():
     assert fa._pick_block(4096, 256) == 256
     assert fa._pick_block(77, 256) == 77

@@ -1,0 +1,138 @@
+"""Multi-chip surface tests (8 virtual CPU devices via conftest):
+config-driven mesh in the Coach, dp-sharded inference denoise batch
+(VERDICT r1 item 2)."""
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from view_neti_tpu.config import RunConfig, decode
+from view_neti_tpu.parallel import mesh as pmesh
+from view_neti_tpu.tokenizer import FallbackTokenizer
+from view_neti_tpu.training import builder
+from view_neti_tpu.inference.pipeline import (encode_uncond, generate_batch,
+                                              make_denoise_fn)
+from view_neti_tpu.inference.prompt_manager import PromptManager
+from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
+
+TEAPOT = Path("/root/reference/data/datasets_mode0/colorful_teapot")
+
+
+@pytest.fixture(scope="module")
+def built_mode0():
+    cfg = decode(RunConfig, {
+        "learnable_mode": 0,
+        "model": {"arch_view_net": 15, "word_embedding_dim": 32}})
+    tok = FallbackTokenizer(base_vocab_size=512)
+    built = builder.build_models(cfg, tok, [], ["<thing>"],
+                                 arch=builder.tiny_arch())
+    return cfg, tok, built
+
+
+class TestShardedInference:
+    def _contexts(self, tok, built, n_prompts, n_steps):
+        schedule = DPMSolverSchedule()
+        ts = schedule.set_timesteps(n_steps)
+        pm = PromptManager(
+            tok, built.frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        ctxs, ctxbs = [], []
+        for i in range(n_prompts):
+            c, cb = pm.embed_prompt(f"photo number {i} of a <thing>")
+            ctxs.append(c)
+            ctxbs.append(cb)
+        return (schedule, jnp.concatenate(ctxs, axis=2),
+                jnp.concatenate(ctxbs, axis=2))
+
+    def test_denoise_batch_dp_sharded(self, built_mode0):
+        cfg, tok, built = built_mode0
+        mesh = pmesh.make_mesh(n_dp=4, n_tp=2)
+        n_steps = 2
+        schedule, ctx, ctx_b = self._contexts(tok, built, 4, n_steps)
+        frozen = built.frozen
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        denoise = make_denoise_fn(frozen.unet, None, schedule, n_steps,
+                                  7.5, jnp.float32, mesh=mesh)
+        hw = 16 // 2 ** (len(frozen.vae.config.channel_mults) - 1)
+        lat0 = jax.device_put(
+            jnp.stack([jax.random.normal(jax.random.PRNGKey(s),
+                                         (hw, hw, 4)) for s in range(4)]),
+            pmesh.batch_sharding(mesh))
+        out = denoise(lat0, frozen.unet_vars, ctx, ctx_b, uncond)
+        # each dp shard holds N/dp = 1 of the 4 latents
+        assert out.sharding.shard_shape(out.shape)[0] == 1
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_mesh_matches_single_device(self, built_mode0):
+        """dp-sharded denoise must be numerically equivalent to the
+        unsharded path."""
+        cfg, tok, built = built_mode0
+        mesh = pmesh.make_mesh(n_dp=4, n_tp=1,
+                               devices=jax.devices("cpu")[:4])
+        n_steps = 2
+        schedule, ctx, ctx_b = self._contexts(tok, built, 2, n_steps)
+        frozen = built.frozen
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        kw = dict(height=16, width=16, seeds=[0, 1],
+                  num_inference_steps=n_steps)
+        a = generate_batch(frozen.unet, frozen.unet_vars, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                           mesh=mesh, **kw)
+        b = generate_batch(frozen.unet, frozen.unet_vars, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                           mesh=None, **kw)
+        assert a.shape == (2, 2, 16, 16, 3)
+        # uint8 outputs: allow 1-bit rounding jitter from reduction order
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_indivisible_batch_rejected(self, built_mode0):
+        cfg, tok, built = built_mode0
+        mesh = pmesh.make_mesh(n_dp=4, n_tp=2)
+        n_steps = 2
+        schedule, ctx, ctx_b = self._contexts(tok, built, 3, n_steps)
+        frozen = built.frozen
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        with pytest.raises(AssertionError, match="must divide dp"):
+            generate_batch(frozen.unet, frozen.unet_vars, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                           16, 16, [0], n_steps, mesh=mesh)
+
+
+@pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
+class TestCoachMeshConfig:
+    def _coach(self, tmp_path, parallel):
+        from view_neti_tpu.training.coach import Coach
+        cfg = decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 2,
+                     "resolution": 16},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "log": {"exp_dir": str(tmp_path), "save_dataset_images": False},
+            "optim": {"max_train_steps": 1, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 2},
+            "parallel": parallel})
+        return Coach(cfg, arch=builder.tiny_arch())
+
+    def test_cpu_defaults_to_no_mesh(self, tmp_path):
+        coach = self._coach(tmp_path, {})
+        assert coach.mesh is None
+
+    def test_explicit_mesh_from_config(self, tmp_path):
+        coach = self._coach(tmp_path, {"use_mesh": True, "dp": 4, "tp": 2})
+        assert coach.mesh is not None
+        assert coach.mesh.shape == {"dp": 4, "tp": 2}
+
+    def test_auto_dp_divides_batch(self, tmp_path):
+        # fused batch = 2 * 2 = 4; 8 devices -> auto dp shrinks to 4
+        coach = self._coach(tmp_path, {"use_mesh": True})
+        assert coach.mesh.shape["dp"] == 4
+        assert coach.micro_batch_size % coach.mesh.shape["dp"] == 0
+
+    def test_indivisible_explicit_dp_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="not divisible"):
+            self._coach(tmp_path, {"use_mesh": True, "dp": 8, "tp": 1})

@@ -38,6 +38,10 @@ class LogConfig:
     report_to: str = "tensorboard"
     checkpoints_total_limit: Optional[int] = None
     save_dataset_images: bool = True
+    # TPU addition: "msgpack" writes the reference-shaped interchange
+    # artifacts; "orbax" additionally persists the FULL sharded train state
+    # (params + optimizer) for multi-host save/restore (checkpoint_orbax.py)
+    checkpoint_backend: str = "msgpack"
 
 
 @dataclass
@@ -202,6 +206,22 @@ class OptimConfig:
 
 
 @dataclass
+class ParallelConfig:
+    """TPU addition: device-mesh parallelism (no reference counterpart —
+    the reference's only multi-device path is accelerate DDP, reference
+    training/coach.py:772-790). Training dp-shards the (fused) batch and
+    optionally tp-shards frozen UNet/CLIP matmul kernels; inference
+    dp-shards the camera-view denoise batch."""
+    # None = auto: use a mesh whenever more than one device is visible
+    use_mesh: Optional[bool] = None
+    # 0 = auto (all devices / tp)
+    dp: int = 0
+    tp: int = 1
+    # shard frozen attention/MLP kernels over tp (needs tp > 1)
+    tensor_parallel: bool = False
+
+
+@dataclass
 class RunConfig:
     """Top-level trainer configuration (reference training/config.py:249-293).
 
@@ -221,6 +241,7 @@ class RunConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
 
     def __post_init__(self):
         if self.optim.train_batch_size > 3:

@@ -82,15 +82,26 @@ def random_resized_crop(img: Image.Image, rng: np.random.Generator,
         if 0 < w <= W and 0 < h <= H:
             i = rng.integers(0, H - h + 1)
             j = rng.integers(0, W - w + 1)
-            box = (j, i, j + w, i + h)
-            return img.resize((size[1], size[0]),
-                              Image.Resampling.BILINEAR, box=box)
+            return _crop_resize(img, (j, i, j + w, i + h), size)
     # fallback: center crop
     scale_f = min(W / size[1], H / size[0])
     w, h = int(size[1] * scale_f), int(size[0] * scale_f)
     j, i = (W - w) // 2, (H - h) // 2
+    return _crop_resize(img, (j, i, j + w, i + h), size)
+
+
+def _crop_resize(img: Image.Image, box, size: Tuple[int, int]
+                 ) -> Image.Image:
+    """Integer-box crop + bilinear resize; routes through the native C++
+    resize when built (the augmented-config hot path on the 1-core host)."""
+    from view_neti_tpu.data import native
+    if native.available():
+        j0, i0, j1, i1 = box
+        arr = np.asarray(img.convert("RGB"))[i0:i1, j0:j1]
+        return Image.fromarray(
+            native.resize(arr, size[0], size[1], mode="bilinear"))
     return img.resize((size[1], size[0]), Image.Resampling.BILINEAR,
-                      box=(j, i, j + w, i + h))
+                      box=box)
 
 
 @dataclass

@@ -133,6 +133,16 @@ class TextualInversionDataset:
         self._length = self.num_images * (repeats if set_name == "train"
                                           else 1)
 
+        # decoded-base cache: the decode + deterministic-resize prefix of
+        # _process_image is identical every epoch (augmentations apply to
+        # the resized image), so cache it as uint8 — on a 1-core TPU VM the
+        # PNG decode otherwise dominates the augmented-config step.
+        import os as _os
+        self._base_cache: Dict[str, np.ndarray] = {}
+        self._base_cache_limit = int(_os.environ.get(
+            "VIEW_NETI_BASE_CACHE_MB", "512")) * 1_000_000
+        self._base_cache_bytes = 0
+
         # ---- placeholder tokens --------------------------------------------
         self.fixed_object_token_pretrained = False
         if learnable_mode == 0:
@@ -235,6 +245,10 @@ class TextualInversionDataset:
     def __len__(self) -> int:
         return self._length
 
+    # when True, __getitem__ emits ids/captions only (no image decode) —
+    # set by the Coach once the latent cache is filled
+    skip_pixels: bool = False
+
     # ---- example construction (reference dataset.py:605-739) --------------
     def __getitem__(self, i: int) -> Dict[str, Any]:
         if self.learnable_mode != 3:
@@ -251,10 +265,6 @@ class TextualInversionDataset:
             idx = i % len(image_paths)
 
         image_path = Path(image_paths[idx])
-        image = Image.open(image_path)
-        if image.mode != "RGB":
-            image = image.convert("RGB")
-
         example: Dict[str, Any] = {"image_idx": idx}
         template = self.pyrng.choice(self.templates)
 
@@ -306,10 +316,37 @@ class TextualInversionDataset:
         else:
             example["object_idx"] = np.int32(0)
 
-        example["pixel_values"] = self._process_image(image)
+        # With the latent cache active the trainer consumes image_idx only;
+        # skip the decode+resize+augment entirely (the reference decodes
+        # every image every step unconditionally, coach.py:167-169, and
+        # round 1 still decoded pixels the cache path threw away).
+        if not self.skip_pixels:
+            example["pixel_values"] = self._load_pixels(image_path)
         return example
 
+    def _load_pixels(self, image_path: Path) -> np.ndarray:
+        """Decoded-base-cache front end of _process_image: the decode +
+        deterministic resize is computed once per file, augmentations
+        every draw."""
+        key = str(image_path)
+        base = self._base_cache.get(key)
+        if base is None:
+            image = Image.open(image_path)
+            if image.mode != "RGB":
+                image = image.convert("RGB")
+            base = np.asarray(self._base_image(image), dtype=np.uint8)
+            if self._base_cache_bytes + base.nbytes \
+                    <= self._base_cache_limit:
+                self._base_cache[key] = base
+                self._base_cache_bytes += base.nbytes
+        return self._augment_normalize(Image.fromarray(base))
+
     def _process_image(self, image: Image.Image) -> np.ndarray:
+        return self._augment_normalize(self._base_image(image))
+
+    def _base_image(self, image: Image.Image) -> Image.Image:
+        """Deterministic preprocess: center crop + target resize
+        (reference dataset.py:605-739 preprocess keys)."""
         img = np.array(image).astype(np.uint8)
         if self.center_crop:
             crop = min(img.shape[0], img.shape[1])
@@ -338,7 +375,10 @@ class TextualInversionDataset:
         else:
             image = _resize(image, (self.size, self.size),
                             self.interpolation)
+        return image
 
+    def _augment_normalize(self, image: Image.Image) -> np.ndarray:
+        """Stochastic suffix: flip + augmentation preset + [-1,1] scale."""
         img_size = image.size
         if self.learnable_mode == 0 and self.rng.uniform() < self.flip_p:
             image = ImageOps.mirror(image)
@@ -381,9 +421,11 @@ class DataLoader:
     @staticmethod
     def _collate(examples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         batch = {}
-        for k in ("pixel_values", "input_ids",
-                  "input_ids_placeholder_object",
-                  "input_ids_placeholder_view"):
+        keys = ("input_ids", "input_ids_placeholder_object",
+                "input_ids_placeholder_view")
+        if "pixel_values" in examples[0]:
+            keys = ("pixel_values",) + keys
+        for k in keys:
             batch[k] = np.stack([e[k] for e in examples])
         batch["object_idx"] = np.asarray(examples[0]["object_idx"])
         batch["image_idxs"] = np.asarray(

@@ -24,7 +24,7 @@ from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
 
 def make_denoise_fn(unet, unet_vars_unused, schedule: DPMSolverSchedule,
                     num_inference_steps: int, guidance_scale: float = 7.5,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, mesh=None):
     """Build the jitted denoise loop.
 
     Returns fn(latents0, unet_vars, context, context_bypass, uncond_ctx)
@@ -34,6 +34,10 @@ def make_denoise_fn(unet, unet_vars_unused, schedule: DPMSolverSchedule,
       latents0: (N, h, w, 4) initial noise
       context/context_bypass: (T, 16, 1, L, D) per-step NeTI conditioning
       uncond_ctx: (1, L, D) negative-prompt hidden states
+
+    With a mesh, the latent batch (camera views x seeds) dp-shards across
+    devices and contexts replicate; unet_vars keep whatever placement the
+    caller gave them (replicated or tp-sharded).
     """
     timesteps = schedule.set_timesteps(num_inference_steps)
     coeffs = schedule.coefficients(timesteps)
@@ -80,6 +84,13 @@ def make_denoise_fn(unet, unet_vars_unused, schedule: DPMSolverSchedule,
                                    (latents, jnp.zeros_like(latents)))
         return out
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        return jax.jit(denoise, donate_argnums=(0,),
+                       in_shardings=(dp, None, rep, rep, rep),
+                       out_shardings=dp)
     return jax.jit(denoise, donate_argnums=(0,))
 
 
@@ -126,19 +137,22 @@ def generate_batch(unet, unet_vars, vae, vae_vars,
                    seeds, num_inference_steps: int = 30,
                    guidance_scale: float = 7.5,
                    compute_dtype=jnp.float32,
-                   denoise_fn=None) -> np.ndarray:
+                   denoise_fn=None, mesh=None) -> np.ndarray:
     """Batched multi-prompt generation: contexts (T, 16, C, L, D) carries C
     prompts (e.g. C camera views); all C x len(seeds) images denoise in ONE
     jitted loop. Returns (C, S, H, W, 3) uint8.
 
     Seed semantics match the reference protocol: seed s produces the same
     initial latents for every prompt (reference inference_dtu.py:354-356
-    reseeds the generator per seed)."""
+    reseeds the generator per seed).
+
+    With a mesh, the (C*S) latent batch dp-shards across devices (the TPU
+    replacement for the reference's one-GPU sequential view sweep)."""
     from view_neti_tpu.models.vae import AutoencoderKL
     if denoise_fn is None:
         denoise_fn = make_denoise_fn(unet, None, schedule,
                                      num_inference_steps, guidance_scale,
-                                     compute_dtype)
+                                     compute_dtype, mesh=mesh)
     C = contexts.shape[2]
     S = len(seeds)
     scale = 2 ** (len(vae.config.channel_mults) - 1)
@@ -146,6 +160,13 @@ def generate_batch(unet, unet_vars, vae, vae_vars,
     per_seed = [jax.random.normal(jax.random.PRNGKey(int(s)), (h, w, 4),
                                   jnp.float32) for s in seeds]
     lat0 = jnp.stack(per_seed * C)          # cam-major: [c0s0, c0s1, ...]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dp = mesh.shape["dp"]
+        assert (C * S) % n_dp == 0, (
+            f"denoise batch C*S={C * S} must divide dp={n_dp}; pick a view "
+            f"batch with views*seeds % dp == 0")
+        lat0 = jax.device_put(lat0, NamedSharding(mesh, P("dp")))
     latents = denoise_fn(lat0, unet_vars, contexts, contexts_bypass,
                          uncond_ctx)
     imgs = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))

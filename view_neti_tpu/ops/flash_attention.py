@@ -325,13 +325,26 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return o.reshape(B, H, Lq, d).transpose(0, 2, 1, 3)
 
 
+_fallback_warned = set()
+
+
 def flash_attention_compat(q, k, v) -> Optional[jnp.ndarray]:
     """Shape-gated entry used by ops.attention: returns None if the kernel
-    doesn't support the shapes (caller falls back to jnp)."""
+    doesn't support the shapes (caller falls back to jnp).
+
+    The gate is STATIC shape checks only; kernel/compile errors propagate
+    loudly rather than silently degrading to the O(Lq*Lk)-memory jnp path
+    (a VMEM overflow or Mosaic regression must be visible, not a 10x
+    throughput cliff with no signal)."""
     B, Lq, H, d = q.shape
     if Lq % 8 != 0 or d % 8 != 0 or d > 256:
+        key = (Lq, k.shape[1], d)
+        if key not in _fallback_warned:
+            _fallback_warned.add(key)
+            import warnings
+            warnings.warn(
+                f"flash attention: unsupported shape Lq={Lq} Lk={k.shape[1]}"
+                f" d={d} (need Lq%8==0, d%8==0, d<=256); falling back to jnp"
+                f" attention, which materializes (B*H, Lq, Lk) logits")
         return None
-    try:
-        return flash_attention(q, k, v)
-    except Exception:
-        return None
+    return flash_attention(q, k, v)

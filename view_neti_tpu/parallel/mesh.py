@@ -22,9 +22,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def default_devices():
+    """Devices of the *configured* platform. The axon sitecustomize
+    force-registers the TPU backend in every process, so jax.devices()
+    reports the TPU even when tests/dryruns pin jax_default_device to the
+    virtual-CPU farm — honor that pin here."""
+    d = jax.config.jax_default_device
+    if d is not None:
+        return jax.devices(d.platform)
+    return jax.devices()
+
+
 def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,
               devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    devices = devices if devices is not None else default_devices()
     if n_dp is None:
         n_dp = len(devices) // n_tp
     assert n_dp * n_tp <= len(devices), \

@@ -34,7 +34,7 @@ class Coach:
     def __init__(self, cfg: RunConfig, arch: Optional[builder.SDArch] = None,
                  calibration_dir: Optional[str] = None,
                  weights_dir: Optional[str] = None,
-                 use_mesh: bool = False):
+                 use_mesh: Optional[bool] = None):
         self.cfg = cfg
         self.logger = CoachLogger(cfg)
         if cfg.optim.seed is not None:
@@ -132,13 +132,41 @@ class Coach:
         step_fn = make_train_step(self.optimizer,
                                   compute_dtype=self.compute_dtype,
                                   from_moments=self.cache_latents)
-        if use_mesh and len(jax.devices()) > 1:
-            self.mesh = pmesh.make_mesh()
+        # mesh resolution: explicit arg > cfg.parallel.use_mesh > auto.
+        # Auto engages only on a real accelerator backend (virtual CPU
+        # device farms — tests — must opt in explicitly).
+        devices = pmesh.default_devices()
+        if use_mesh is None:
+            use_mesh = cfg.parallel.use_mesh
+        if use_mesh is None:
+            use_mesh = (len(devices) > 1
+                        and devices[0].platform != "cpu")
+        if use_mesh and len(devices) > 1:
+            n_tp = cfg.parallel.tp
+            n_dp = cfg.parallel.dp or None
+            if n_dp is None:
+                # auto dp: the largest device count that divides the
+                # (fused) per-step batch
+                n_dp = len(devices) // n_tp
+                while n_dp > 1 and self.micro_batch_size % n_dp != 0:
+                    n_dp -= 1
+            self.mesh = pmesh.make_mesh(n_dp=n_dp, n_tp=n_tp)
+            if self.micro_batch_size % self.mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"effective batch {self.micro_batch_size} not divisible "
+                    f"by dp={self.mesh.shape['dp']}; adjust "
+                    "optim.train_batch_size/gradient_accumulation_steps or "
+                    "parallel.dp")
             rep = pmesh.replicated(self.mesh)
             self._batch_shardings = None  # built lazily from first batch
             self._rep = rep
             self._step_raw = step_fn
             self.train_step = None
+            self._place_frozen_on_mesh()
+            self.logger.log_message(
+                f"device mesh: dp={self.mesh.shape['dp']} "
+                f"tp={self.mesh.shape['tp']} "
+                f"(tensor_parallel={cfg.parallel.tensor_parallel})")
         else:
             self.mesh = None
             self.train_step = jax.jit(step_fn, donate_argnums=(0, 1))
@@ -255,9 +283,27 @@ class Coach:
                 f"dataset yields {len(self.train_dataset)} examples "
                 f"(num_images x repeats) < batch {self.micro_batch_size}; "
                 "raise data.repeats")
-        loader = DataLoader(self.train_dataset,
-                            batch_size=self.micro_batch_size,
-                            shuffle=True, seed=cfg.seed)
+        # Prefetch: a background thread keeps batches ready while the chip
+        # runs the step — on the 1-core host the PIL/augment work otherwise
+        # serializes with the TPU step (the augmented-config bottleneck).
+        import os as _os
+        use_prefetch = not _os.environ.get("VIEW_NETI_NO_PREFETCH")
+        if self.cache_latents:
+            # the trainer only consumes image_idx; fill the cache up front
+            # so the loader thread never decodes a pixel
+            if self._latent_cache is None:
+                self._fill_latent_cache()
+            self.train_dataset.skip_pixels = True
+        if use_prefetch:
+            from view_neti_tpu.data.loader import PrefetchLoader
+            loader = PrefetchLoader(
+                self.train_dataset, batch_size=self.micro_batch_size,
+                shuffle=True, seed=cfg.seed,
+                reset_each_batch=(cfg.learnable_mode == 3))
+        else:
+            loader = DataLoader(self.train_dataset,
+                                batch_size=self.micro_batch_size,
+                                shuffle=True, seed=cfg.seed)
         rng = jax.random.PRNGKey(cfg.optim.seed or cfg.seed)
         trainable, opt_state = self.trainable, self.opt_state
         k = self.accum_k
@@ -272,12 +318,12 @@ class Coach:
         trace_ctx.__enter__()
         while self.global_step < cfg.optim.max_train_steps:
             for batch_np in loader:
-                if cfg.learnable_mode == 3:
+                if cfg.learnable_mode == 3 and not use_prefetch:
+                    # with prefetch the producer thread resamples the scene
+                    # per batch (PrefetchLoader.reset_each_batch)
                     self.train_dataset.reset_sampled_object()
                 rng, sub = jax.random.split(rng)
                 if self.cache_latents:
-                    if self._latent_cache is None:
-                        self._fill_latent_cache()
                     pixel_values = self._latent_cache[
                         jnp.asarray(batch_np["image_idxs"])]
                 else:
@@ -312,7 +358,8 @@ class Coach:
                                    f"learned_embeds-steps-"
                                    f"{self.global_step}.msgpack",
                                    f"mapper-steps-"
-                                   f"{self.global_step}.msgpack")
+                                   f"{self.global_step}.msgpack",
+                                   opt_state=opt_state)
                     if self._should_eval() and self.validator is not None:
                         self.validator.infer(coach=self,
                                              trainable=trainable,
@@ -320,9 +367,11 @@ class Coach:
                 if self.global_step >= cfg.optim.max_train_steps:
                     break
         trace_ctx.__exit__(None, None, None)
+        if use_prefetch:
+            loader.close()
         self.trainable, self.opt_state = trainable, opt_state
         self._save(trainable, "learned_embeds-final.msgpack",
-                   "mapper-final.msgpack")
+                   "mapper-final.msgpack", opt_state=opt_state)
         wall = time.time() - t0
         self.logger.log_message(
             f"training done: {self.global_step} steps in {wall:.1f}s")
@@ -357,6 +406,30 @@ class Coach:
             f"latent cache: {self._latent_cache.shape[0]} images -> "
             f"moments {self._latent_cache.shape[1:]}")
 
+    def _place_frozen_on_mesh(self) -> None:
+        """Shard/replicate the frozen SD stack over the mesh; with
+        parallel.tensor_parallel, attention/MLP kernels split over 'tp'."""
+        import dataclasses as dc
+        frozen = self.built.frozen
+        tp_on = self.cfg.parallel.tensor_parallel
+        unet_sh = pmesh.frozen_param_shardings(frozen.unet_vars, self.mesh,
+                                               tensor_parallel=tp_on)
+        clip_sh = pmesh.frozen_param_shardings(frozen.text.clip_vars,
+                                               self.mesh,
+                                               tensor_parallel=tp_on)
+        rep_tree = lambda t: jax.tree_util.tree_map(lambda _: self._rep, t)
+        self.built.frozen = dc.replace(
+            frozen,
+            unet_vars=pmesh.shard_pytree(frozen.unet_vars, unet_sh),
+            vae_vars=pmesh.shard_pytree(frozen.vae_vars,
+                                        rep_tree(frozen.vae_vars)),
+            text=dc.replace(frozen.text, clip_vars=pmesh.shard_pytree(
+                frozen.text.clip_vars, clip_sh)))
+        frozen_sh = rep_tree(self.built.frozen)
+        self._frozen_sharding = dc.replace(
+            frozen_sh, unet_vars=unet_sh,
+            text=dc.replace(frozen_sh.text, clip_vars=clip_sh))
+
     def _resolve_step(self, batch):
         if self.mesh is None:
             return self.train_step
@@ -364,7 +437,8 @@ class Coach:
             bs = pmesh.batch_shardings_for(batch, self.mesh)
             self.train_step = jit_train_step(
                 self._step_raw, mesh=self.mesh, batch_sharding=bs,
-                replicated=self._rep)
+                replicated=self._rep,
+                frozen_sharding=self._frozen_sharding)
         return self.train_step
 
     def save_dataset_images(self) -> None:
@@ -403,7 +477,8 @@ class Coach:
             for p in root.glob(f"*-steps-{step}_*.msgpack"):
                 p.unlink()
 
-    def _save(self, trainable, embeds_name: str, mapper_name: str) -> None:
+    def _save(self, trainable, embeds_name: str, mapper_name: str,
+              opt_state=None) -> None:
         text = self.built.frozen.text
         token_table = jax.device_get(
             text.clip_vars["params"]["token_embedding"])
@@ -415,6 +490,17 @@ class Coach:
             token_table=token_table,
             embeds_save_name=embeds_name,
             mapper_save_name=mapper_name)
+        if self.cfg.log.checkpoint_backend == "orbax" \
+                and opt_state is not None:
+            from view_neti_tpu import checkpoint_orbax
+            state = {"trainable": trainable, "opt_state": opt_state,
+                     "obj_constants": text.obj_constants,
+                     "view_constants": text.view_constants}
+            out = checkpoint_orbax.save_train_state(
+                Path(self.cfg.log.exp_dir) / "orbax" /
+                f"state-{self.global_step}",
+                {k: v for k, v in state.items() if v is not None})
+            self.logger.log_message(f"saved orbax train state {out}")
         self.logger.log_message(f"saved checkpoint at step "
                                 f"{self.global_step}")
         if "steps" in embeds_name:

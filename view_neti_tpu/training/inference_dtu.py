@@ -325,16 +325,20 @@ def dtu_generate_camidxs_to_preds(
 
     frozen = coach.built.frozen
     uncond = encode_uncond(text.clip, text.clip_vars, coach.tokenizer)
-    denoise = make_denoise_fn(frozen.unet, frozen.unet_vars, schedule,
-                              num_denoising_steps, guidance_scale,
-                              coach.compute_dtype)
-    out: Dict[int, np.ndarray] = {}
-    camidx_to_token = {i: t for i, t in lookup_tok.items()}
     # batch several camera views through one denoise loop (TPU redesign:
     # the reference runs one view at a time, inference_dtu.py:246-260).
     # On one chip the 2xCFG x 3-seed batch already saturates the MXU, so
-    # the default is 1; raise it when dp-sharding inference across chips.
-    vb = int(os.environ.get("VIEW_NETI_VIEW_BATCH", "1"))
+    # the default is 1; on a mesh the view batch defaults to the dp size
+    # and the (views x seeds) denoise batch dp-shards across chips.
+    mesh = getattr(coach, "mesh", None)
+    n_dp = mesh.shape["dp"] if mesh is not None else 1
+    vb_env = os.environ.get("VIEW_NETI_VIEW_BATCH")
+    vb = int(vb_env) if vb_env else n_dp
+    denoise = make_denoise_fn(frozen.unet, frozen.unet_vars, schedule,
+                              num_denoising_steps, guidance_scale,
+                              coach.compute_dtype, mesh=mesh)
+    out: Dict[int, np.ndarray] = {}
+    camidx_to_token = {i: t for i, t in lookup_tok.items()}
     for start in range(0, len(cam_idxs), vb):
         chunk = list(cam_idxs[start:start + vb])
         ctxs, ctxbs = [], []
@@ -346,11 +350,13 @@ def dtu_generate_camidxs_to_preds(
             ctxbs.append(cb)
         contexts = jnp.concatenate(ctxs, axis=2)       # (T, 16, C, L, D)
         contexts_b = jnp.concatenate(ctxbs, axis=2)
+        full = len(chunk) == vb
         imgs = generate_batch(
             frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
             schedule, contexts, contexts_b, uncond, height, width, seeds,
             num_denoising_steps, guidance_scale, coach.compute_dtype,
-            denoise_fn=denoise if len(chunk) == vb else None)
+            denoise_fn=denoise if full else None,
+            mesh=mesh if full else None)
         for ci, cam_idx in enumerate(chunk):
             out[cam_idx] = imgs[ci]  # (n_seeds, H, W, 3) uint8
     return out
