@@ -242,14 +242,24 @@ def _bench_e2e():
                   "max_train_steps": steps + 3},
     })
     coach = Coach(cfg, calibration_dir=cal)
+    # capture the Coach's own per-step rate (excludes jit compile) via the
+    # metrics it logs every optimizer step
+    rates = []
+    orig_log = coach.logger.log_metrics
+
+    def capture(metrics, step=None):
+        if "imgs_per_sec" in metrics:
+            rates.append(metrics["imgs_per_sec"])
+        return orig_log(metrics, step)
+
+    coach.logger.log_metrics = capture
     import time as _time
     t0 = _time.time()
     result = coach.train()
     wall = _time.time() - t0
-    # end-to-end wall including the first (compile) steps; XLA's persistent
-    # cache makes the second invocation the steady-state number
-    total_imgs = coach.micro_batch_size * result["steps"]
-    imgs_per_sec = total_imgs / wall
+    tail = rates[len(rates) // 2:]
+    imgs_per_sec = float(np.median(tail)) if tail else (
+        coach.micro_batch_size * result["steps"] / wall)
     print(json.dumps({
         "metric": "imgs/sec/chip mode-2 SD-1.5 TI train "
                   "(augmented recipe, end-to-end)",
@@ -257,6 +267,9 @@ def _bench_e2e():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_IMGS_PER_SEC_EST, 3),
     }))
+    print(f"# wall={wall:.1f}s steps={result['steps']} "
+          f"steady_rates_tail={[round(r, 2) for r in tail[-5:]]}",
+          file=sys.stderr)
 
 
 def dtu_idxs_for_bench():

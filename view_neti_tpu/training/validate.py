@@ -111,7 +111,9 @@ class ValidationHandler:
             prompts = [f"A photo of a {obj}"]
             prompts += [f"{v}. A photo of a {obj}" for v in view_tokens]
         out = Path(cfg.log.exp_dir) / f"val-image-{step}.png"
-        self._render_prompts(coach, trainable, num_steps, prompts, out)
+        sheet = self._render_prompts(coach, trainable, num_steps, prompts,
+                                     out)
+        coach.logger.log_images("validation", [sheet], step)
         return {"sheet": str(out), "prompts": prompts}
 
     # ------------------------------------------------------------------
@@ -149,6 +151,7 @@ class ValidationHandler:
         out_path = Path(cfg.log.exp_dir) / f"val-images-{step}.png"
         sheet.save(out_path)
         coach.logger.log_message(f"saved validation sheet {out_path}")
+        coach.logger.log_images("validation", [np.asarray(sheet)], step)
         return {"sheet": str(out_path)}
 
     # ------------------------------------------------------------------
@@ -203,6 +206,8 @@ class ValidationHandler:
                    if k.endswith("_mean")}
         coach.logger.log_metrics(
             {f"val{tag}/{k}": v for k, v in metrics.items()}, step)
+        coach.logger.log_images(
+            f"val{tag}", [np.clip(g, 0, 1) for g in results["grids"]], step)
         coach.logger.log_message(f"DTU val step {step}{tag}: {metrics}")
         return results
 
@@ -300,3 +305,4 @@ class ValidationHandler:
         sheet = to_pil(np.concatenate(rows, axis=0))
         sheet.save(out_path)
         coach.logger.log_message(f"saved {tag} sheet {out_path}")
+        return np.asarray(sheet)
