@@ -23,7 +23,7 @@ def prepare_directories(cfg) -> None:
         exp_dir = exp_dir / cfg.log.exp_name
         cfg.log.exp_dir = exp_dir
     if exp_dir.exists() and any(exp_dir.iterdir()) \
-            and not cfg.log.overwrite_ok:
+            and not cfg.log.overwrite_ok and not cfg.log.resume_from:
         raise FileExistsError(
             f"{exp_dir} exists; pass --log.overwrite_ok true to overwrite")
     exp_dir.mkdir(parents=True, exist_ok=True)

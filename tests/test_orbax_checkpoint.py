@@ -56,6 +56,45 @@ class TestOrbaxRoundtrip:
         assert restored["opt_state"]["mu"].sharding.is_equivalent_to(
             dp, restored["opt_state"]["mu"].ndim)
 
+    def test_coach_resume_from_latest(self, tmp_path):
+        """End-to-end resume (log.resume_from): a fresh Coach restores
+        trainable params, optimizer state, and the global step from the
+        newest orbax state and continues counting from there."""
+        from pathlib import Path
+
+        from view_neti_tpu.config import RunConfig, decode
+        from view_neti_tpu.training import builder
+        from view_neti_tpu.training.coach import Coach
+
+        teapot = Path("/root/reference/data/datasets_mode0/colorful_teapot")
+        if not teapot.exists():
+            pytest.skip("bundled data missing")
+        data = {"learnable_mode": 0,
+                "data": {"train_data_dir": str(teapot), "repeats": 2,
+                         "resolution": 16, "flip_p": 0.0},
+                "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+                "log": {"exp_dir": str(tmp_path),
+                        "save_dataset_images": False,
+                        "checkpoint_backend": "orbax", "save_steps": 2},
+                "optim": {"max_train_steps": 2, "train_batch_size": 2,
+                          "gradient_accumulation_steps": 1}}
+        cfg = decode(RunConfig, data)
+        coach = Coach(cfg, arch=builder.tiny_arch())
+        coach.train()  # saves state-2 (save_steps=2) and the final state
+        assert (tmp_path / "orbax" / "state-2").exists()
+
+        data["log"]["resume_from"] = "latest"
+        data["optim"]["max_train_steps"] = 3
+        cfg2 = decode(RunConfig, data)
+        coach2 = Coach(cfg2, arch=builder.tiny_arch())
+        assert coach2.global_step == 2
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            coach.trainable, coach2.trainable)
+        result = coach2.train()  # one more optimizer step
+        assert result["steps"] == 3
+
     def test_overwrite_same_path(self, tmp_path):
         rng = np.random.RandomState(2)
         s1 = jax.tree_util.tree_map(jnp.asarray, _state(rng))

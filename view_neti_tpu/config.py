@@ -42,6 +42,12 @@ class LogConfig:
     # artifacts; "orbax" additionally persists the FULL sharded train state
     # (params + optimizer) for multi-host save/restore (checkpoint_orbax.py)
     checkpoint_backend: str = "msgpack"
+    # TPU addition: resume a run from an orbax train-state directory —
+    # a state-<step> path, or "latest" to pick the newest under
+    # <exp_dir>/orbax. Restores trainable params, optimizer state, PE
+    # constants, and the global step. (The reference has no resume at all,
+    # reference training/coach.py:500-506.)
+    resume_from: Optional[str] = None
 
 
 @dataclass
@@ -73,6 +79,11 @@ class DataConfig:
     # TPU addition: path to a CLIP BPE vocab directory (vocab.json +
     # merges.txt). None -> deterministic fallback tokenizer.
     tokenizer_path: Optional[Path] = None
+    # TPU addition: run the stochastic augmentation suffix (jitter/blur/
+    # rotate/crop/flip) on device inside the jitted train step instead of
+    # per-image on the host (ops/device_augment.py). Distribution-
+    # equivalent to the host/PIL path; disable for bit-level host parity.
+    device_augment: bool = True
 
 
 @dataclass

@@ -249,6 +249,20 @@ class TextualInversionDataset:
     # set by the Coach once the latent cache is filled
     skip_pixels: bool = False
 
+    # when True, __getitem__ emits the cached uint8 base image (decode +
+    # deterministic resize only); the stochastic flip/augment suffix runs
+    # on device inside the train step (ops/device_augment.py). Set by the
+    # Coach when device augmentation engages.
+    emit_base_pixels: bool = False
+
+    @property
+    def uniform_base_shape(self) -> bool:
+        """True when every base image shares one static shape (required to
+        batch uint8 bases for the on-device augmentation path). Only the
+        llff passthrough (reference dataset.py:712-713) skips the
+        deterministic resize."""
+        return "llff" not in str(self.data_root)
+
     # ---- example construction (reference dataset.py:605-739) --------------
     def __getitem__(self, i: int) -> Dict[str, Any]:
         if self.learnable_mode != 3:
@@ -321,13 +335,14 @@ class TextualInversionDataset:
         # every image every step unconditionally, coach.py:167-169, and
         # round 1 still decoded pixels the cache path threw away).
         if not self.skip_pixels:
-            example["pixel_values"] = self._load_pixels(image_path)
+            if self.emit_base_pixels:
+                example["pixel_values"] = self._load_base(image_path)
+            else:
+                example["pixel_values"] = self._load_pixels(image_path)
         return example
 
-    def _load_pixels(self, image_path: Path) -> np.ndarray:
-        """Decoded-base-cache front end of _process_image: the decode +
-        deterministic resize is computed once per file, augmentations
-        every draw."""
+    def _load_base(self, image_path: Path) -> np.ndarray:
+        """uint8 decode + deterministic-resize base, cached per file."""
         key = str(image_path)
         base = self._base_cache.get(key)
         if base is None:
@@ -339,6 +354,13 @@ class TextualInversionDataset:
                     <= self._base_cache_limit:
                 self._base_cache[key] = base
                 self._base_cache_bytes += base.nbytes
+        return base
+
+    def _load_pixels(self, image_path: Path) -> np.ndarray:
+        """Decoded-base-cache front end of _process_image: the decode +
+        deterministic resize is computed once per file, augmentations
+        every draw."""
+        base = self._load_base(image_path)
         return self._augment_normalize(Image.fromarray(base))
 
     def _process_image(self, image: Image.Image) -> np.ndarray:

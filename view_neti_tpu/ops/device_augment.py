@@ -1,0 +1,305 @@
+"""On-device (TPU) training augmentations, fused into the jitted train step.
+
+The reference runs torchvision transforms on the host per image per step
+(reference training/dataset.py:238-316 presets, applied at :605-739). On a
+1-core TPU VM that host work serializes with the device step and caps the
+augmented recipe's throughput (round-2 E2E profile). The TPU-native design
+moves the stochastic augmentation suffix onto the chip:
+
+  host:   decode + deterministic resize, cached once per file (uint8)
+  device: [-1,1] normalize + ColorJitter + Grayscale + GaussianBlur +
+          (Rotation ∘ RandomResizedCrop ∘ HorizontalFlip) as ONE fused
+          bilinear warp, inside the same jit as the VAE encode + UNet step.
+
+All randomness comes from the step's jax PRNG key (per-sample fold), so the
+pipeline stays reproducible and shards over a dp mesh with no host sync.
+
+Semantics parity notes (vs data/augment.py, the host/PIL parity path):
+  * ColorJitter brightness/contrast/saturation/hue match torchvision's
+    factor distributions and random op order; arithmetic is float32 in
+    [0,1] instead of uint8-quantized PIL ops (differences < 1/255).
+  * PIL contrast uses the rounded mean of the L channel; reproduced.
+  * Rotation/crop/flip are composed into a single inverse-affine bilinear
+    sample: one resampling pass instead of PIL's two (rotate, then
+    crop+resize). Augmentation distributions are preserved; per-pixel
+    values differ from the double-resampled host path by design.
+  * RandomResizedCrop samples (area, log-aspect) like torchvision but
+    clamps the box to the image instead of torchvision's 10-try rejection
+    loop, and offsets are continuous rather than integer.
+  * Rotation fill is 1/255 (PIL fillcolor=(1,1,1) on uint8), applied
+    wherever the composed warp samples outside the source image.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class AugmentSpec:
+    """Static (trace-time) description of the augmentation suffix.
+
+    Mirrors data/augment.py build_augmentations presets 1-8 (reference
+    training/dataset.py:238-316) plus the mode-0 horizontal flip
+    (reference training/dataset.py:686-688).
+    """
+    jitter_p: float = 0.0
+    jitter_strength: Tuple[float, float, float, float] = (.04, .04, .04, .04)
+    gray_p: float = 0.0
+    blur_p: float = 0.0
+    blur_sigma: Tuple[float, float] = (0.1, 0.2)
+    rot_p: float = 0.0
+    rot_degrees: float = 10.0
+    crop_p: float = 0.0
+    crop_scale: Tuple[float, float] = (0.85, 1.15)
+    crop_ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
+    flip_p: float = 0.0
+    fill: float = 1.0 / 255.0
+
+    @property
+    def identity(self) -> bool:
+        return (self.jitter_p == 0 and self.gray_p == 0 and self.blur_p == 0
+                and self.rot_p == 0 and self.crop_p == 0
+                and self.flip_p == 0)
+
+
+def from_augmentation_key(augmentation_key: int,
+                          flip_p: float = 0.0) -> Optional[AugmentSpec]:
+    """Device twin of data/augment.py build_augmentations. Returns None
+    when there is nothing to do on device."""
+    base = dict(jitter_p=0.75, flip_p=flip_p)
+    presets = {
+        0: dict(jitter_p=0.0, flip_p=flip_p),
+        1: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75, crop_p=1.0,
+                crop_scale=(0.850, 1.15)),
+        2: dict(gray_p=0.1, blur_p=0.10),
+        3: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75),
+        4: dict(gray_p=0.1, blur_p=0.10, crop_p=1.0,
+                crop_scale=(0.850, 1.15)),
+        5: dict(blur_p=0.25, crop_p=1.0, crop_scale=(0.950, 1.05)),
+        6: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75, crop_p=1.0,
+                crop_scale=(0.70, 1.3)),
+        7: dict(blur_p=0.2, rot_p=0.75, crop_p=1.0, crop_scale=(0.70, 1.3)),
+        8: dict(gray_p=0.1, blur_p=0.10),
+    }
+    if augmentation_key not in presets:
+        raise ValueError(f"unknown augmentation_key {augmentation_key}")
+    spec = AugmentSpec(**{**base, **presets[augmentation_key]})
+    return None if spec.identity else spec
+
+
+# ---------------------------------------------------------------------------
+# color ops (float32, [0,1], HWC)
+# ---------------------------------------------------------------------------
+
+_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)  # ITU-R 601 (PIL "L")
+
+
+def _luma(x: jnp.ndarray) -> jnp.ndarray:
+    return x @ _LUMA
+
+
+def _rgb_to_hsv(x: jnp.ndarray):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    c = maxc - minc
+    safe_c = jnp.where(c > 0, c, 1.0)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(c > 0, (h / 6.0) % 1.0, 0.0)
+    s = jnp.where(maxc > 0, c / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    return h, s, maxc
+
+
+def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    rgb = jnp.stack([
+        jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t],
+                   v),
+        jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p],
+                   p),
+        jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v],
+                   q),
+    ], axis=-1)
+    return rgb
+
+
+def _color_jitter(x: jnp.ndarray, key: jax.Array,
+                  strength: Tuple[float, float, float, float],
+                  p: float) -> jnp.ndarray:
+    b, c, s, h = strength
+    kg, kb, kc, ks, kh, kp = jax.random.split(key, 6)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - b), maxval=1 + b)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - c), maxval=1 + c)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - s), maxval=1 + s)
+    sh = jax.random.uniform(kh, (), minval=-h, maxval=h)
+
+    def brightness(im):
+        return jnp.clip(im * fb, 0.0, 1.0)
+
+    def contrast(im):
+        # PIL ImageEnhance.Contrast: blend toward the *rounded* uint8 mean
+        # of the grayscale image
+        mean = jnp.round(jnp.mean(_luma(im)) * 255.0) / 255.0
+        return jnp.clip(mean + fc * (im - mean), 0.0, 1.0)
+
+    def saturation(im):
+        g = _luma(im)[..., None]
+        return jnp.clip(g + fs * (im - g), 0.0, 1.0)
+
+    def hue(im):
+        hh, ss, vv = _rgb_to_hsv(im)
+        return _hsv_to_rgb((hh + sh) % 1.0, ss, vv)
+
+    branches = [brightness, contrast, saturation, hue]
+    perm = jax.random.permutation(kg, 4)
+    out = x
+    for k in range(4):
+        out = jax.lax.switch(perm[k], branches, out)
+    applied = jax.random.uniform(kp) < p
+    return jnp.where(applied, out, x)
+
+
+def _grayscale(x: jnp.ndarray, key: jax.Array, p: float) -> jnp.ndarray:
+    g = jnp.clip(_luma(x), 0.0, 1.0)[..., None]
+    applied = jax.random.uniform(key) < p
+    return jnp.where(applied, jnp.broadcast_to(g, x.shape), x)
+
+
+def _gaussian_blur(x: jnp.ndarray, key: jax.Array, p: float,
+                   sigma_range: Tuple[float, float]) -> jnp.ndarray:
+    """3-tap separable gaussian with edge padding. The presets use
+    sigma <= 0.25 px, where taps beyond +-1 are < 1e-5 of the total."""
+    kp, ks = jax.random.split(key)
+    sigma = jax.random.uniform(ks, (), minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    w1 = jnp.exp(-0.5 / (sigma * sigma))
+    w = jnp.stack([w1, 1.0, w1])
+    w = w / jnp.sum(w)
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    xv = w[0] * xp[:-2] + w[1] * xp[1:-1] + w[2] * xp[2:]
+    xp = jnp.pad(xv, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    xh = w[0] * xp[:, :-2] + w[1] * xp[:, 1:-1] + w[2] * xp[:, 2:]
+    applied = jax.random.uniform(kp) < p
+    return jnp.where(applied, xh, x)
+
+
+# ---------------------------------------------------------------------------
+# fused geometric warp: flip -> rotate -> random-resized-crop, one sample
+# ---------------------------------------------------------------------------
+
+def _affine_warp(x: jnp.ndarray, key: jax.Array,
+                 spec: AugmentSpec) -> jnp.ndarray:
+    H, W = x.shape[0], x.shape[1]
+    kr, krp, ka, kar, ki, kj, kf = jax.random.split(key, 7)
+
+    # rotation angle (radians); PIL rotate is counterclockwise
+    if spec.rot_p > 0:
+        theta = jax.random.uniform(
+            kr, (), minval=-spec.rot_degrees, maxval=spec.rot_degrees
+        ) * (jnp.pi / 180.0)
+        theta = jnp.where(jax.random.uniform(krp) < spec.rot_p, theta, 0.0)
+    else:
+        theta = jnp.float32(0.0)
+
+    # crop box (i, j, bh, bw) in rotated-image coordinates
+    if spec.crop_p > 0:
+        area = H * W * jax.random.uniform(
+            ka, (), minval=spec.crop_scale[0], maxval=spec.crop_scale[1])
+        log_r = jax.random.uniform(
+            kar, (), minval=jnp.log(spec.crop_ratio[0]),
+            maxval=jnp.log(spec.crop_ratio[1]))
+        aspect = jnp.exp(log_r)
+        bw = jnp.clip(jnp.sqrt(area * aspect), 8.0, W)
+        bh = jnp.clip(jnp.sqrt(area / aspect), 8.0, H)
+        i = jax.random.uniform(ki, ()) * (H - bh)
+        j = jax.random.uniform(kj, ()) * (W - bw)
+        if spec.crop_p < 1.0:
+            crop_on = jax.random.uniform(
+                jax.random.fold_in(ka, 1)) < spec.crop_p
+            bh = jnp.where(crop_on, bh, H)
+            bw = jnp.where(crop_on, bw, W)
+            i = jnp.where(crop_on, i, 0.0)
+            j = jnp.where(crop_on, j, 0.0)
+    else:
+        i = j = jnp.float32(0.0)
+        bh, bw = jnp.float32(H), jnp.float32(W)
+
+    flip = (jax.random.uniform(kf) < spec.flip_p) if spec.flip_p > 0 \
+        else jnp.bool_(False)
+
+    if spec.rot_p == 0 and spec.crop_p == 0 and spec.flip_p == 0:
+        return x
+
+    yo, xo = jnp.mgrid[0:H, 0:W]
+    # crop+resize map with half-pixel centers (torchvision resize convention)
+    xr = j + (xo + 0.5) * (bw / W) - 0.5
+    yr = i + (yo + 0.5) * (bh / H) - 0.5
+    # inverse rotation about the image center
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    dx, dy = xr - cx, yr - cy
+    xb = cx + cos_t * dx + sin_t * dy
+    yb = cy - sin_t * dx + cos_t * dy
+    # horizontal flip = mirror the source (flip before rotate/crop, matching
+    # the host pipeline's order in dataset._augment_normalize)
+    xb = jnp.where(flip, (W - 1) - xb, xb)
+
+    valid = ((xb > -0.5) & (xb < W - 0.5) & (yb > -0.5) & (yb < H - 0.5))
+    x0 = jnp.floor(xb)
+    y0 = jnp.floor(yb)
+    wx = (xb - x0)[..., None]
+    wy = (yb - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    flat = x.reshape(H * W, -1)
+
+    def g(yy, xx):
+        return jnp.take(flat, yy * W + xx, axis=0)
+
+    out = ((1 - wy) * ((1 - wx) * g(y0i, x0i) + wx * g(y0i, x1i))
+           + wy * ((1 - wx) * g(y1i, x0i) + wx * g(y1i, x1i)))
+    return jnp.where(valid[..., None], out, spec.fill)
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def augment_one(spec: AugmentSpec, key: jax.Array,
+                img_u8: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) uint8 -> (H, W, 3) float32 in [-1, 1], augmented.
+
+    Op order matches every host preset: jitter, grayscale, blur, then the
+    fused flip/rotate/crop warp."""
+    x = img_u8.astype(jnp.float32) * (1.0 / 255.0)
+    kj, kg, kb, kw = jax.random.split(key, 4)
+    if spec.jitter_p > 0:
+        x = _color_jitter(x, kj, spec.jitter_strength, spec.jitter_p)
+    if spec.gray_p > 0:
+        x = _grayscale(x, kg, spec.gray_p)
+    if spec.blur_p > 0:
+        x = _gaussian_blur(x, kb, spec.blur_p, spec.blur_sigma)
+    x = _affine_warp(x, kw, spec)
+    return x * 2.0 - 1.0
+
+
+def augment_batch(spec: AugmentSpec, rng: jax.Array,
+                  imgs_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (B, H, W, 3) float32 in [-1, 1]."""
+    keys = jax.random.split(rng, imgs_u8.shape[0])
+    return jax.vmap(augment_one, in_axes=(None, 0, 0))(spec, keys, imgs_u8)

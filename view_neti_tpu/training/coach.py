@@ -128,10 +128,25 @@ class Coach:
                               and cfg.learnable_mode != 3)
         self._latent_cache = None
 
+        # ---- device augmentation -----------------------------------------
+        # Augmented configs (the shipped recipe is augmentation_key 7) run
+        # the stochastic suffix on the TPU inside the train step; the host
+        # only stacks cached uint8 base images. See ops/device_augment.py.
+        self.augment_spec = None
+        if (not self.cache_latents and cfg.data.device_augment
+                and self.train_dataset.uniform_base_shape):
+            from view_neti_tpu.ops import device_augment
+            self.augment_spec = device_augment.from_augmentation_key(
+                cfg.data.augmentation_key, self.train_dataset.flip_p)
+        if self.augment_spec is not None:
+            self.logger.log_message(
+                f"device augmentation active: {self.augment_spec}")
+
         # ---- jit step ---------------------------------------------------
         step_fn = make_train_step(self.optimizer,
                                   compute_dtype=self.compute_dtype,
-                                  from_moments=self.cache_latents)
+                                  from_moments=self.cache_latents,
+                                  augment=self.augment_spec)
         # mesh resolution: explicit arg > cfg.parallel.use_mesh > auto.
         # Auto engages only on a real accelerator backend (virtual CPU
         # device farms — tests — must opt in explicitly).
@@ -181,6 +196,7 @@ class Coach:
             save_root=cfg.log.exp_dir)
         self.validator = None  # attached externally (ValidationHandler)
         self.global_step = 0
+        self._maybe_resume()
 
     # ------------------------------------------------------------------
     def _init_dataset(self, calibration_dir) -> TextualInversionDataset:
@@ -294,6 +310,9 @@ class Coach:
             if self._latent_cache is None:
                 self._fill_latent_cache()
             self.train_dataset.skip_pixels = True
+        elif self.augment_spec is not None:
+            # host emits cached uint8 bases; augmentation runs on device
+            self.train_dataset.emit_base_pixels = True
         if use_prefetch:
             from view_neti_tpu.data.loader import PrefetchLoader
             loader = PrefetchLoader(
@@ -309,6 +328,7 @@ class Coach:
         k = self.accum_k
         micro_step = 0
         last_loss = float("nan")
+        self._pending_metrics = None
         t0 = time.time()
         import os
         from view_neti_tpu.utils.profiling import StepTimer, trace
@@ -343,16 +363,17 @@ class Coach:
                 timer.tick()
                 if micro_step % k == 0:
                     self.global_step += 1
-                    last_loss = float(metrics["total_loss"])
+                    # Async-dispatch pipelining: materializing this step's
+                    # loss would block the host until the device finishes,
+                    # serializing batch prep + logging with the step. Log
+                    # the PREVIOUS step's (already-computed) loss instead so
+                    # the next step dispatches immediately; metrics lag one
+                    # optimizer step.
+                    prev = self._pending_metrics
+                    self._pending_metrics = (self.global_step, metrics)
+                    if prev is not None:
+                        last_loss = self._log_step_metrics(prev, timer)
                     self.logger.update_step(self.global_step)
-                    logs = {
-                        "total_loss": last_loss,
-                        "lr": float(self.lr_schedule(self.global_step)),
-                    }
-                    ips = timer.imgs_per_sec(self.micro_batch_size)
-                    if ips:
-                        logs["imgs_per_sec"] = ips
-                    self.logger.log_metrics(logs)
                     if self._should_save():
                         self._save(trainable,
                                    f"learned_embeds-steps-"
@@ -366,6 +387,9 @@ class Coach:
                                              step=self.global_step)
                 if self.global_step >= cfg.optim.max_train_steps:
                     break
+        if self._pending_metrics is not None:
+            last_loss = self._log_step_metrics(self._pending_metrics, timer)
+            self._pending_metrics = None
         trace_ctx.__exit__(None, None, None)
         if use_prefetch:
             loader.close()
@@ -378,6 +402,19 @@ class Coach:
         self.logger.close()
         return {"steps": self.global_step, "wall_s": wall,
                 "final_loss": last_loss}
+
+    def _log_step_metrics(self, pending, timer) -> float:
+        """Materialize + log a completed step's metrics (see the pipelining
+        note in train()). Returns the loss."""
+        step_at, metrics = pending
+        loss = float(metrics["total_loss"])
+        logs = {"total_loss": loss,
+                "lr": float(self.lr_schedule(step_at))}
+        ips = timer.imgs_per_sec(self.micro_batch_size)
+        if ips:
+            logs["imgs_per_sec"] = ips
+        self.logger.log_metrics(logs, step=step_at)
+        return loss
 
     def _fill_latent_cache(self) -> None:
         """Encode every (deterministically preprocessed) training image once;
@@ -441,6 +478,45 @@ class Coach:
                 frozen_sharding=self._frozen_sharding)
         return self.train_step
 
+    def _maybe_resume(self) -> None:
+        """log.resume_from: restore trainable params, optimizer state, PE
+        constants, and the global step from an orbax train-state directory
+        (checkpoint_orbax.py). "latest" picks the newest state under
+        <exp_dir>/orbax. TPU addition — the reference cannot resume
+        (reference training/coach.py:500-506 reloads weights only)."""
+        import dataclasses as dc
+        src = self.cfg.log.resume_from
+        if not src:
+            return
+        from view_neti_tpu import checkpoint_orbax
+        if str(src) == "latest":
+            root = Path(self.cfg.log.exp_dir) / "orbax"
+            states = sorted(root.glob("state-*"),
+                            key=lambda p: int(p.name.split("-")[1]))
+            if not states:
+                raise FileNotFoundError(f"no orbax train states under {root}")
+            path = states[-1]
+        else:
+            path = Path(src)
+        text = self.built.frozen.text
+        template = {"trainable": self.trainable, "opt_state": self.opt_state,
+                    "obj_constants": text.obj_constants,
+                    "view_constants": text.view_constants,
+                    "step": jnp.asarray(0)}
+        template = {k: v for k, v in template.items() if v is not None}
+        restored = checkpoint_orbax.restore_train_state(path, template)
+        self.trainable = restored["trainable"]
+        self.opt_state = restored["opt_state"]
+        text_updates = {k: restored[k]
+                        for k in ("obj_constants", "view_constants")
+                        if k in restored}
+        if text_updates:
+            self.built.frozen = dc.replace(
+                self.built.frozen, text=dc.replace(text, **text_updates))
+        self.global_step = int(restored["step"])
+        self.logger.log_message(
+            f"resumed from {path} at global step {self.global_step}")
+
     def save_dataset_images(self) -> None:
         """Contact sheet of the first <=100 training images at startup
         (reference coach.py:478-490)."""
@@ -495,7 +571,8 @@ class Coach:
             from view_neti_tpu import checkpoint_orbax
             state = {"trainable": trainable, "opt_state": opt_state,
                      "obj_constants": text.obj_constants,
-                     "view_constants": text.view_constants}
+                     "view_constants": text.view_constants,
+                     "step": jnp.asarray(self.global_step)}
             out = checkpoint_orbax.save_train_state(
                 Path(self.cfg.log.exp_dir) / "orbax" /
                 f"state-{self.global_step}",

@@ -74,15 +74,26 @@ class FrozenModels:
 def make_train_step(optimizer: optax.GradientTransformation,
                     compute_dtype: jnp.dtype = jnp.float32,
                     from_moments: bool = False,
+                    augment=None,
                     ) -> Callable:
     """Build the (un-jitted) train step.
 
     from_moments: batch.pixel_values holds precomputed VAE posterior
     moments (mean|logvar); sample latents directly (latent cache).
 
+    augment: optional ops.device_augment.AugmentSpec — batch.pixel_values
+    then holds cached uint8 base images (B, H, W, 3) and the stochastic
+    augmentation suffix (jitter/blur/rotate/crop/flip) runs ON DEVICE inside
+    this jit, fused ahead of the VAE encode. The host's per-step image work
+    collapses to stacking cached uint8 arrays (the reference re-augments on
+    the host every step, training/dataset.py:605-739).
+
     Returns step(trainable, opt_state, frozen: FrozenModels, batch, rng) ->
       (trainable, opt_state, metrics).
     """
+    if augment is not None and from_moments:
+        raise ValueError("device augmentation and the latent cache are "
+                         "mutually exclusive")
 
     def loss_fn(trainable, frozen, batch: TrainBatch, noisy, timesteps,
                 target, rng_drop):
@@ -104,8 +115,15 @@ def make_train_step(optimizer: optax.GradientTransformation,
     def step(trainable, opt_state, frozen: FrozenModels, batch: TrainBatch,
              rng):
         schedule = frozen.schedule
-        r_vae, r_noise, r_t, r_drop = jax.random.split(rng, 4)
-        if from_moments:
+        r_vae, r_noise, r_t, r_drop, r_aug = jax.random.split(rng, 5)
+        if augment is not None:
+            from view_neti_tpu.ops import device_augment
+            pixels = device_augment.augment_batch(
+                augment, r_aug, batch.pixel_values)
+            latents = frozen.vae.apply(
+                frozen.vae_vars, pixels.astype(compute_dtype),
+                r_vae, method=AutoencoderKL.encode_sample)
+        elif from_moments:
             mean, logvar = jnp.split(
                 batch.pixel_values.astype(jnp.float32), 2, axis=-1)
             logvar = jnp.clip(logvar, -30.0, 20.0)
