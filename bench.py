@@ -100,7 +100,14 @@ def main():
     sched = make_lr_schedule("constant", lr, 0, 3000)
     opt = sliced_adamw(sched)
     opt_state = opt.init(built.trainable)
-    step = jax.jit(make_train_step(opt, compute_dtype=jnp.bfloat16),
+    # BENCH_AUG=1: the shipped augmented recipe's device step — uint8 base
+    # batch + on-device preset-7 augmentation fused ahead of the VAE encode
+    aug_spec = None
+    if os.environ.get("BENCH_AUG", "0") == "1":
+        from view_neti_tpu.ops import device_augment
+        aug_spec = device_augment.from_augmentation_key(7)
+    step = jax.jit(make_train_step(opt, compute_dtype=jnp.bfloat16,
+                                   augment=aug_spec),
                    donate_argnums=(0, 1))
 
     # synthetic batch at mode-2 shapes
@@ -114,6 +121,8 @@ def main():
     ids[:, 7] = obj_id
     batch = TrainBatch(
         pixel_values=jnp.asarray(
+            rng_np.randint(0, 256, (B, H, W, 3)).astype(np.uint8))
+        if aug_spec is not None else jnp.asarray(
             rng_np.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)),
         input_ids=jnp.asarray(ids),
         input_ids_placeholder_object=jnp.full((B,), obj_id, jnp.int32),

@@ -100,6 +100,44 @@ class TestPrefetchTraining:
         assert coach._latent_cache is not None
 
 
+@pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
+class TestSuperstepDispatch:
+    def test_windows_respect_boundaries_and_train(self, tmp_path):
+        """optim.steps_per_dispatch scans W steps per dispatch; windows
+        shrink to land exactly on save/end boundaries; per-step losses
+        still log."""
+        coach = _tiny_coach(tmp_path, **{
+            "data.augmentation_key": 7,
+            "data.flip_p": 0.0,
+            "optim.gradient_accumulation_steps": 1,
+            "optim.train_batch_size": 2,
+            "optim.max_train_steps": 5,
+            "optim.steps_per_dispatch": 2,
+            "log.save_steps": 4})
+        assert coach.use_pixel_cache
+        assert coach.augment_spec is not None
+        assert coach._dispatch_window() == 2
+        result = coach.train()
+        assert result["steps"] == 5
+        assert np.isfinite(result["final_loss"])
+        assert (Path(tmp_path) / "learned_embeds-steps-4.msgpack").exists()
+
+    def test_latent_cache_rides_superstep(self, tmp_path):
+        """The latent cache now lives in FrozenModels.pixel_cache too, so
+        augmentation-free configs superstep as well."""
+        coach = _tiny_coach(tmp_path, **{
+            "data.flip_p": 0.0,
+            "optim.gradient_accumulation_steps": 1,
+            "optim.train_batch_size": 2,
+            "optim.max_train_steps": 3})
+        assert coach.cache_latents and coach.use_pixel_cache
+        assert coach.steps_per_dispatch > 1  # auto
+        result = coach.train()
+        assert result["steps"] == 3
+        assert np.isfinite(result["final_loss"])
+        assert coach.built.frozen.pixel_cache is not None
+
+
 class TestValidationDispatch:
     """infer() routing parity (reference validate.py:388-437): mode 3 ->
     infer_mode3; DTU vocab -> infer_dtu + disentangled; mode 0 -> prompt

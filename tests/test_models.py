@@ -248,3 +248,48 @@ class TestGradientCheckpointing:
         g = jax.grad(lambda c: jnp.sum(
             unet_r.apply(vars_, latents, t, c, c) ** 2))(ctx)
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestFastGroupNorm:
+    def test_matches_flax_groupnorm_and_param_tree(self):
+        """ops/norm.py FastGroupNorm: identical output (fp32 stats) and
+        identical parameter tree to an anonymous nn.GroupNorm."""
+        import flax.linen as nn
+        from view_neti_tpu.ops.norm import group_norm
+
+        class Stock(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.GroupNorm(num_groups=4, epsilon=1e-6,
+                                    dtype=jnp.float32)(x).astype(jnp.bfloat16)
+
+        class Fast(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return group_norm(4, 1e-6, jnp.bfloat16)(x)
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16),
+                              jnp.bfloat16) * 3 + 1
+        vs = Stock().init(jax.random.PRNGKey(1), x)
+        vf = Fast().init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(vs)
+                == jax.tree_util.tree_structure(vf))
+        # non-trivial affine
+        vs = jax.tree_util.tree_map(
+            lambda p: p + 0.3 if p.ndim == 1 else p, vs)
+        a = np.asarray(Stock().apply(vs, x), np.float32)
+        b = np.asarray(Fast().apply(vs, x), np.float32)
+        np.testing.assert_allclose(a, b, atol=0.02, rtol=0.02)
+
+    def test_fp32_exact(self):
+        import flax.linen as nn
+        from view_neti_tpu.ops.norm import group_norm
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 7, 12),
+                              jnp.float32)
+        stock = nn.GroupNorm(num_groups=3, epsilon=1e-5, dtype=jnp.float32)
+        fast = group_norm(3, 1e-5, jnp.float32, name=None)
+        vs = stock.init(jax.random.PRNGKey(3), x)
+        a = np.asarray(stock.apply(vs, x))
+        b = np.asarray(fast.apply(vs, x))
+        np.testing.assert_allclose(a, b, atol=1e-5)

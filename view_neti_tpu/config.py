@@ -214,6 +214,12 @@ class OptimConfig:
     # equals the fused-batch mean); mode 3 keeps true accumulation because
     # it resamples the scene per microbatch. ~17% higher imgs/sec on v5e.
     fuse_accumulation: bool = True
+    # TPU optimization: lax.scan this many optimizer steps inside one jit
+    # dispatch (0 = auto). On a tunneled TPU each dispatch/fetch pays a
+    # ~30 ms host round-trip; with the device-resident image/latent caches
+    # a batch is index-only, so whole windows run device-side. Windows
+    # shrink automatically at save/validation/end boundaries.
+    steps_per_dispatch: int = 0
 
 
 @dataclass

@@ -125,6 +125,13 @@ class TextualInversionDataset:
             self.image_paths_flattened = [
                 p for row in self.image_paths.values() for p in row]
             self.num_images = len(self.image_paths_flattened)
+            # global (flattened) index offset per subset, so image_idx can
+            # address caches built over image_paths_flattened
+            self._subset_offsets = {}
+            off = 0
+            for subdir, row in self.image_paths.items():
+                self._subset_offsets[subdir] = off
+                off += len(row)
             self.current_object_idx = int(
                 self.rng.integers(len(self.train_data_subsets)))
 
@@ -279,7 +286,11 @@ class TextualInversionDataset:
             idx = i % len(image_paths)
 
         image_path = Path(image_paths[idx])
-        example: Dict[str, Any] = {"image_idx": idx}
+        # image_idx is GLOBAL over image_paths_flattened (mode 3 adds the
+        # subset offset) so device-resident caches can be indexed by it
+        global_idx = (idx if self.learnable_mode != 3
+                      else self._subset_offsets[current] + idx)
+        example: Dict[str, Any] = {"image_idx": global_idx}
         template = self.pyrng.choice(self.templates)
 
         if self.learnable_mode == 0:

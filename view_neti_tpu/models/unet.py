@@ -93,8 +93,10 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                            dtype=jnp.float32)(x).astype(self.dtype)
+        # fp32 statistics, fused normalize pass (ops/norm.py) — param tree
+        # identical to an anonymous nn.GroupNorm
+        from view_neti_tpu.ops.norm import group_norm
+        return group_norm(self.groups, self.eps, self.dtype)(x)
 
 
 class ResnetBlock(nn.Module):

@@ -44,9 +44,10 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # fp32 statistics regardless of compute dtype
-        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                            dtype=jnp.float32)(x).astype(self.dtype)
+        # fp32 statistics regardless of compute dtype; fused normalize pass
+        # (ops/norm.py) — param tree identical to an anonymous nn.GroupNorm
+        from view_neti_tpu.ops.norm import group_norm
+        return group_norm(self.groups, 1e-6, self.dtype)(x)
 
 
 class ResnetBlock(nn.Module):

@@ -36,6 +36,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -199,6 +200,39 @@ def _gaussian_blur(x: jnp.ndarray, key: jax.Array, p: float,
 # ---------------------------------------------------------------------------
 # fused geometric warp: flip -> rotate -> random-resized-crop, one sample
 # ---------------------------------------------------------------------------
+#
+# TPU design note: a direct bilinear warp is a 196k-element random gather —
+# ~50 ms/step at bench shapes (TPU gathers of 3-float rows don't vectorize).
+# Instead the affine map is factored Catmull-Smith style into two
+# axis-aligned passes, each "per-line fractional shift (contiguous dynamic
+# slices) + one dense (N x N) interpolation matmul" — all MXU/copy work, no
+# scatter/gather of scalars. Exact for affine maps (each pass resamples
+# along one axis only; quality equals two chained 1-D bilinear resamples).
+
+
+def _tri_matrix(pos: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(len(pos), n) bilinear interpolation matrix: row p samples source
+    coordinate pos[p] from n edge-clamped taps."""
+    posc = jnp.clip(pos, 0.0, n - 1.0)
+    return jnp.maximum(
+        0.0, 1.0 - jnp.abs(posc[:, None] - jnp.arange(n, dtype=jnp.float32)))
+
+
+def _shift_rows(x: jnp.ndarray, d: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """x: (R, N, C); per-row fractional translate along axis 1 by d[r]
+    (edge-clamped): out[r, i] = x[r, i + d[r]] bilinear."""
+    R, N, C = x.shape
+    padded = jnp.pad(x, ((0, 0), (pad, pad + 1), (0, 0)), mode="edge")
+    k = jnp.floor(d)
+    f = (d - k)[:, None, None]
+    ki = jnp.clip(k.astype(jnp.int32) + pad, 0, 2 * pad)
+
+    def slc(row, kk):
+        return jax.lax.dynamic_slice(row, (kk, 0), (N + 1, C))
+
+    sl = jax.vmap(slc)(padded, ki)
+    return (1.0 - f) * sl[:, :N] + f * sl[:, 1:]
+
 
 def _affine_warp(x: jnp.ndarray, key: jax.Array,
                  spec: AugmentSpec) -> jnp.ndarray:
@@ -207,6 +241,12 @@ def _affine_warp(x: jnp.ndarray, key: jax.Array,
 
     # rotation angle (radians); PIL rotate is counterclockwise
     if spec.rot_p > 0:
+        if spec.rot_degrees >= 45.0:
+            # the two-pass shear bound is tan(theta); presets use 10 deg
+            raise ValueError(
+                "device-side rotation supports |degrees| < 45 "
+                f"(got {spec.rot_degrees}); use the host pipeline "
+                "(data.device_augment=false) for larger rotations")
         theta = jax.random.uniform(
             kr, (), minval=-spec.rot_degrees, maxval=spec.rot_degrees
         ) * (jnp.pi / 180.0)
@@ -242,38 +282,79 @@ def _affine_warp(x: jnp.ndarray, key: jax.Array,
 
     if spec.rot_p == 0 and spec.crop_p == 0 and spec.flip_p == 0:
         return x
+    return _apply_affine(x, theta, i, j, bh, bw, flip,
+                         rot_degrees=(spec.rot_degrees if spec.rot_p > 0
+                                      else 0.0),
+                         fill=spec.fill)
 
-    yo, xo = jnp.mgrid[0:H, 0:W]
-    # crop+resize map with half-pixel centers (torchvision resize convention)
-    xr = j + (xo + 0.5) * (bw / W) - 0.5
-    yr = i + (yo + 0.5) * (bh / H) - 0.5
-    # inverse rotation about the image center
+
+def _apply_affine(x: jnp.ndarray, theta, i, j, bh, bw, flip,
+                  rot_degrees: float, fill: float) -> jnp.ndarray:
+    """Warp with explicit (traced) parameters; rot_degrees is the STATIC
+    bound on |theta| (degrees) used to size the shear pads (0 = no shear
+    pass)."""
+    H, W = x.shape[0], x.shape[1]
+    # source-coordinate affine: output (x, y) -> source (xb, yb).
+    # Crop+resize uses half-pixel centers (torchvision resize convention);
+    # rotation is about the image center; horizontal flip mirrors the
+    # source (flip before rotate/crop, matching the host pipeline's order
+    # in dataset._augment_normalize):
+    #   xr = sw*x + tx,  yr = sh*y + ty
+    #   xb0 = cx + cos*(xr-cx) + sin*(yr-cy)
+    #   yb  = cy - sin*(xr-cx) + cos*(yr-cy)
+    #   xb  = flip ? (W-1) - xb0 : xb0
+    sw, sh = bw / W, bh / H
     cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    tx = j + 0.5 * sw - 0.5
+    ty = i + 0.5 * sh - 0.5
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    dx, dy = xr - cx, yr - cy
-    xb = cx + cos_t * dx + sin_t * dy
-    yb = cy - sin_t * dx + cos_t * dy
-    # horizontal flip = mirror the source (flip before rotate/crop, matching
-    # the host pipeline's order in dataset._augment_normalize)
-    xb = jnp.where(flip, (W - 1) - xb, xb)
+    sign = jnp.where(flip, -1.0, 1.0)
+    fconst = jnp.where(flip, jnp.float32(W - 1), 0.0)
+    a00 = sign * cos_t * sw
+    a01 = sign * sin_t * sh
+    c0 = fconst + sign * (cx + cos_t * (tx - cx) + sin_t * (ty - cy))
+    a10 = -sin_t * sw
+    a11 = cos_t * sh
+    c1 = cy - sin_t * (tx - cx) + cos_t * (ty - cy)
 
+    # ---- pass H: T[r, xo] = img[r, e00*xo + e01*r + e0] where e01 = ±tanθ
+    # (rows r are SOURCE rows here; solving y from yb=r keeps the composed
+    # two-pass map exactly equal to the direct affine warp)
+    a11s = jnp.where(jnp.abs(a11) < 1e-6, 1e-6, a11)
+    e01 = a01 / a11s
+    e00 = a00 - e01 * a10
+    e0 = c0 - e01 * c1
+    if rot_degrees > 0:
+        # |e01| = tan(theta) <= tan(rot_degrees); shifts are centered on cy
+        pad_h = int(np.ceil(np.tan(np.deg2rad(rot_degrees)) * H / 2.0)) + 2
+        d = e01 * (jnp.arange(H, dtype=jnp.float32) - cy)
+        s_h = _shift_rows(x, d, pad_h)
+    else:
+        s_h = x
+    pos_x = e00 * jnp.arange(W, dtype=jnp.float32) + (e0 + e01 * cy)
+    mh = _tri_matrix(pos_x, W)                       # (W_out, W_src)
+    t = jnp.einsum("xs,rsc->rxc", mh, s_h)
+
+    # ---- pass V: out[y, xo] = T[a11*y + a10*(xo-cx) + (c1 + a10*cx), xo]
+    tt = jnp.swapaxes(t, 0, 1)                       # (W, H, C)
+    if rot_degrees > 0:
+        # |a10| = sinθ·(bw/W) <= sin(rot_degrees)
+        pad_v = int(np.ceil(np.sin(np.deg2rad(rot_degrees)) * W / 2.0)) + 2
+        dv = a10 * (jnp.arange(W, dtype=jnp.float32) - cx)
+        s_v = _shift_rows(tt, dv, pad_v)
+    else:
+        s_v = tt
+    pos_y = a11 * jnp.arange(H, dtype=jnp.float32) + (c1 + a10 * cx)
+    mv = _tri_matrix(pos_y, H)                       # (H_out, H_src)
+    out = jnp.swapaxes(jnp.einsum("ys,xsc->xyc", mv, s_v), 0, 1)
+
+    # ---- rotation fill wherever the exact source coordinate leaves the
+    # image (PIL rotate fillcolor)
+    yo, xo = jnp.mgrid[0:H, 0:W]
+    xb = a00 * xo + a01 * yo + c0
+    yb = a10 * xo + a11 * yo + c1
     valid = ((xb > -0.5) & (xb < W - 0.5) & (yb > -0.5) & (yb < H - 0.5))
-    x0 = jnp.floor(xb)
-    y0 = jnp.floor(yb)
-    wx = (xb - x0)[..., None]
-    wy = (yb - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
-    flat = x.reshape(H * W, -1)
-
-    def g(yy, xx):
-        return jnp.take(flat, yy * W + xx, axis=0)
-
-    out = ((1 - wy) * ((1 - wx) * g(y0i, x0i) + wx * g(y0i, x1i))
-           + wy * ((1 - wx) * g(y1i, x0i) + wx * g(y1i, x1i)))
-    return jnp.where(valid[..., None], out, spec.fill)
+    return jnp.where(valid[..., None], out, fill)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,16 @@ def batch_shardings_for(prototype: Any, mesh: Mesh) -> Any:
         lambda x: dp if getattr(x, "ndim", 0) >= 1 else rep, prototype)
 
 
+def window_batch_shardings_for(prototype: Any, mesh: Mesh) -> Any:
+    """Shardings for a W-step dispatch window of stacked batches
+    (train_step.make_multi_step): leaf shape (W, B, ...) shards the BATCH
+    axis over dp; per-step scalars (W,) replicate."""
+    dp = NamedSharding(mesh, P(None, "dp"))
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: dp if getattr(x, "ndim", 0) >= 2 else rep, prototype)
+
+
 # --- optional tensor-parallel placement of frozen weights ------------------
 
 _TP_PATTERNS = [

@@ -127,6 +127,7 @@ class Coach:
                               and self.train_dataset.flip_p == 0.0
                               and cfg.learnable_mode != 3)
         self._latent_cache = None
+        self._base_cache_dev = None
 
         # ---- device augmentation -----------------------------------------
         # Augmented configs (the shipped recipe is augmentation_key 7) run
@@ -141,12 +142,28 @@ class Coach:
         if self.augment_spec is not None:
             self.logger.log_message(
                 f"device augmentation active: {self.augment_spec}")
+        # park the uint8 bases (augmented recipes) or latent moments in HBM
+        # when they fit; the host then sends only int32 indices per step
+        # (per-step batch transfer through the TPU tunnel costs more than
+        # the whole augmentation)
+        self.use_pixel_cache = (self.cache_latents
+                                or (self.augment_spec is not None
+                                    and self._base_cache_fits()))
 
         # ---- jit step ---------------------------------------------------
         step_fn = make_train_step(self.optimizer,
                                   compute_dtype=self.compute_dtype,
                                   from_moments=self.cache_latents,
-                                  augment=self.augment_spec)
+                                  augment=self.augment_spec,
+                                  cache_pixels=self.use_pixel_cache)
+        self._step_raw = step_fn
+        # superstep: scan W optimizer steps per dispatch (index-only
+        # batches; amortizes the ~30 ms tunnel round-trip per dispatch)
+        spd = cfg.optim.steps_per_dispatch
+        if spd == 0:
+            spd = 4 if self.use_pixel_cache else 1
+        self.steps_per_dispatch = spd
+        self._multi_steps = {}
         # mesh resolution: explicit arg > cfg.parallel.use_mesh > auto.
         # Auto engages only on a real accelerator backend (virtual CPU
         # device farms — tests — must opt in explicitly).
@@ -311,8 +328,12 @@ class Coach:
                 self._fill_latent_cache()
             self.train_dataset.skip_pixels = True
         elif self.augment_spec is not None:
-            # host emits cached uint8 bases; augmentation runs on device
-            self.train_dataset.emit_base_pixels = True
+            if self.use_pixel_cache:
+                self._fill_base_cache()
+                self.train_dataset.skip_pixels = True
+            else:
+                # host emits cached uint8 bases (per-step transfer)
+                self.train_dataset.emit_base_pixels = True
         if use_prefetch:
             from view_neti_tpu.data.loader import PrefetchLoader
             loader = PrefetchLoader(
@@ -329,6 +350,12 @@ class Coach:
         micro_step = 0
         last_loss = float("nan")
         self._pending_metrics = None
+        # Pre-split step keys in bulk and keep them as host numpy: a
+        # per-step jax.random.split is a separate device dispatch, and on a
+        # tunneled TPU every dispatch pays the tunnel round-trip.
+        pool_n = min(max(cfg.optim.max_train_steps * k + 16, 32), 65536)
+        key_pool = np.asarray(jax.random.split(rng, pool_n + 1))
+        key_idx = 0
         t0 = time.time()
         import os
         from view_neti_tpu.utils.profiling import StepTimer, trace
@@ -336,57 +363,73 @@ class Coach:
         trace_dir = os.environ.get("VIEW_NETI_TRACE_DIR")
         trace_ctx = trace(trace_dir)
         trace_ctx.__enter__()
+        def batch_stream():
+            while True:
+                for b in loader:
+                    if cfg.learnable_mode == 3 and not use_prefetch:
+                        # with prefetch the producer thread resamples the
+                        # scene per batch (PrefetchLoader.reset_each_batch)
+                        self.train_dataset.reset_sampled_object()
+                    yield b
+
+        stream = batch_stream()
         while self.global_step < cfg.optim.max_train_steps:
-            for batch_np in loader:
-                if cfg.learnable_mode == 3 and not use_prefetch:
-                    # with prefetch the producer thread resamples the scene
-                    # per batch (PrefetchLoader.reset_each_batch)
-                    self.train_dataset.reset_sampled_object()
-                rng, sub = jax.random.split(rng)
-                if self.cache_latents:
-                    pixel_values = self._latent_cache[
-                        jnp.asarray(batch_np["image_idxs"])]
-                else:
-                    pixel_values = jnp.asarray(batch_np["pixel_values"])
-                batch = TrainBatch(
-                    pixel_values=pixel_values,
-                    input_ids=jnp.asarray(batch_np["input_ids"]),
-                    input_ids_placeholder_object=jnp.asarray(
-                        batch_np["input_ids_placeholder_object"]),
-                    input_ids_placeholder_view=jnp.asarray(
-                        batch_np["input_ids_placeholder_view"]),
-                    object_idx=jnp.asarray(batch_np["object_idx"]))
+            w = self._dispatch_window()
+            if key_idx + max(w, 1) > pool_n:
+                key_pool = np.asarray(jax.random.split(
+                    jnp.asarray(key_pool[-1]), pool_n + 1))
+                key_idx = 0
+            if w > 1:
+                # superstep: stack W index-only batches and scan them in
+                # ONE dispatch (amortizes the tunnel round-trip)
+                batches = [self._build_batch(next(stream))
+                           for _ in range(w)]
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *batches)
+                keys = np.ascontiguousarray(key_pool[key_idx:key_idx + w])
+                key_idx += w
+                multi = self._resolve_multi(w, stacked)
+                trainable, opt_state, metrics = multi(
+                    trainable, opt_state, self.built.frozen, stacked, keys)
+                micro_step += w
+                done = w
+                timer.tick()
+            else:
+                batch = self._build_batch(next(stream))
+                sub = key_pool[key_idx]
+                key_idx += 1
                 step_fn = self._resolve_step(batch)
                 trainable, opt_state, metrics = step_fn(
                     trainable, opt_state, self.built.frozen, batch, sub)
                 micro_step += 1
                 timer.tick()
-                if micro_step % k == 0:
-                    self.global_step += 1
-                    # Async-dispatch pipelining: materializing this step's
-                    # loss would block the host until the device finishes,
-                    # serializing batch prep + logging with the step. Log
-                    # the PREVIOUS step's (already-computed) loss instead so
-                    # the next step dispatches immediately; metrics lag one
-                    # optimizer step.
-                    prev = self._pending_metrics
-                    self._pending_metrics = (self.global_step, metrics)
-                    if prev is not None:
-                        last_loss = self._log_step_metrics(prev, timer)
-                    self.logger.update_step(self.global_step)
-                    if self._should_save():
-                        self._save(trainable,
-                                   f"learned_embeds-steps-"
-                                   f"{self.global_step}.msgpack",
-                                   f"mapper-steps-"
-                                   f"{self.global_step}.msgpack",
-                                   opt_state=opt_state)
-                    if self._should_eval() and self.validator is not None:
-                        self.validator.infer(coach=self,
-                                             trainable=trainable,
-                                             step=self.global_step)
-                if self.global_step >= cfg.optim.max_train_steps:
-                    break
+                done = 1 if micro_step % k == 0 else 0
+            if done:
+                self.global_step += done
+                # Async-dispatch pipelining: materializing this dispatch's
+                # losses would block the host until the device finishes,
+                # serializing batch prep + logging with the step. Log the
+                # PREVIOUS dispatch's (already-computed) losses instead so
+                # the next dispatch goes out immediately; metrics lag one
+                # dispatch.
+                prev = self._pending_metrics
+                self._pending_metrics = (
+                    self.global_step, metrics,
+                    self.micro_batch_size * max(w, 1))
+                if prev is not None:
+                    last_loss = self._log_step_metrics(prev, timer)
+                self.logger.update_step(self.global_step)
+                if self._should_save():
+                    self._save(trainable,
+                               f"learned_embeds-steps-"
+                               f"{self.global_step}.msgpack",
+                               f"mapper-steps-"
+                               f"{self.global_step}.msgpack",
+                               opt_state=opt_state)
+                if self._should_eval() and self.validator is not None:
+                    self.validator.infer(coach=self,
+                                         trainable=trainable,
+                                         step=self.global_step)
         if self._pending_metrics is not None:
             last_loss = self._log_step_metrics(self._pending_metrics, timer)
             self._pending_metrics = None
@@ -404,17 +447,106 @@ class Coach:
                 "final_loss": last_loss}
 
     def _log_step_metrics(self, pending, timer) -> float:
-        """Materialize + log a completed step's metrics (see the pipelining
-        note in train()). Returns the loss."""
-        step_at, metrics = pending
-        loss = float(metrics["total_loss"])
-        logs = {"total_loss": loss,
-                "lr": float(self.lr_schedule(step_at))}
-        ips = timer.imgs_per_sec(self.micro_batch_size)
-        if ips:
-            logs["imgs_per_sec"] = ips
-        self.logger.log_metrics(logs, step=step_at)
-        return loss
+        """Materialize + log a completed dispatch's metrics (see the
+        pipelining note in train()); superstep dispatches carry one loss
+        per scanned optimizer step. Returns the newest loss."""
+        end_step, metrics, imgs_per_tick = pending
+        losses = np.atleast_1d(
+            np.asarray(metrics["total_loss"], np.float32))
+        ips = timer.imgs_per_sec(imgs_per_tick)
+        for idx, loss in enumerate(losses):
+            step_at = end_step - (len(losses) - 1 - idx)
+            logs = {"total_loss": float(loss),
+                    "lr": float(self.lr_schedule(step_at))}
+            if ips and idx == len(losses) - 1:
+                logs["imgs_per_sec"] = ips
+            self.logger.log_metrics(logs, step=step_at)
+        return float(losses[-1])
+
+    def _build_batch(self, batch_np) -> TrainBatch:
+        """Device-batch from a collated host batch. With an HBM-resident
+        pixel/latent cache, pixel_values carries int32 indices; numpy
+        leaves transfer as part of the ONE step dispatch."""
+        return TrainBatch(
+            pixel_values=(batch_np["image_idxs"] if self.use_pixel_cache
+                          else batch_np["pixel_values"]),
+            input_ids=batch_np["input_ids"],
+            input_ids_placeholder_object=(
+                batch_np["input_ids_placeholder_object"]),
+            input_ids_placeholder_view=(
+                batch_np["input_ids_placeholder_view"]),
+            object_idx=batch_np["object_idx"])
+
+    def _dispatch_window(self) -> int:
+        """How many optimizer steps the next dispatch may scan: capped by
+        optim.steps_per_dispatch and shrunk to land exactly on save /
+        validation / end boundaries."""
+        cfg = self.cfg
+        if self.steps_per_dispatch <= 1 or self.accum_k != 1:
+            return 1
+        w = min(self.steps_per_dispatch,
+                cfg.optim.max_train_steps - self.global_step)
+        s = cfg.log.save_steps
+        w = min(w, s - (self.global_step % s))
+        if (self.validator is not None
+                and cfg.eval.validation_prompts is not None):
+            v = cfg.eval.validation_steps
+            w = min(w, v - (self.global_step % v))
+        return max(1, w)
+
+    def _resolve_multi(self, w: int, stacked: TrainBatch):
+        """Jitted W-step scan (train_step.make_multi_step), cached per
+        window size."""
+        if w not in self._multi_steps:
+            from view_neti_tpu.training.train_step import make_multi_step
+            multi = make_multi_step(self._step_raw)
+            if self.mesh is None:
+                self._multi_steps[w] = jax.jit(multi, donate_argnums=(0, 1))
+            else:
+                bs = pmesh.window_batch_shardings_for(stacked, self.mesh)
+                rep = self._rep
+                self._multi_steps[w] = jax.jit(
+                    multi,
+                    in_shardings=(rep, rep, self._frozen_sharding, bs, rep),
+                    out_shardings=(rep, rep, rep),
+                    donate_argnums=(0, 1))
+        return self._multi_steps[w]
+
+    def _base_cache_fits(self) -> bool:
+        """Do all uint8 base images fit under
+        VIEW_NETI_DEVICE_BASE_CACHE_MB (default 2048)?"""
+        import os as _os
+        ds = self.train_dataset
+        limit = int(_os.environ.get(
+            "VIEW_NETI_DEVICE_BASE_CACHE_MB", "2048")) * 1_000_000
+        first = ds._load_base(Path(ds.image_paths_flattened[0]))
+        return first.nbytes * ds.num_images <= limit
+
+    def _attach_pixel_cache(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Attach an HBM-resident per-image cache (uint8 bases or latent
+        moments) as FrozenModels.pixel_cache; the jit step gathers rows by
+        batch indices."""
+        import dataclasses as dc
+        if self.mesh is not None:
+            rep = pmesh.replicated(self.mesh)
+            arr = jax.device_put(arr, rep)
+            self._frozen_sharding = dc.replace(
+                self._frozen_sharding, pixel_cache=rep)
+        self.built.frozen = dc.replace(self.built.frozen, pixel_cache=arr)
+        return arr
+
+    def _fill_base_cache(self) -> None:
+        """Upload every uint8 base image to the accelerator once; the jit
+        step gathers them by index (FrozenModels.pixel_cache)."""
+        if self._base_cache_dev is not None:
+            return
+        ds = self.train_dataset
+        bases = np.stack([ds._load_base(Path(p))
+                          for p in ds.image_paths_flattened])
+        self._base_cache_dev = self._attach_pixel_cache(jnp.asarray(bases))
+        self.logger.log_message(
+            f"device base-image cache: {bases.shape[0]} images "
+            f"({bases.nbytes / 1e6:.0f} MB uint8) resident on device")
 
     def _fill_latent_cache(self) -> None:
         """Encode every (deterministically preprocessed) training image once;
@@ -438,7 +570,8 @@ class Coach:
             chunks.append(np.asarray(
                 moments(frozen.vae_vars, jnp.asarray(pix)),
                 dtype=np.float32))
-        self._latent_cache = jnp.asarray(np.concatenate(chunks, axis=0))
+        self._latent_cache = self._attach_pixel_cache(
+            jnp.asarray(np.concatenate(chunks, axis=0)))
         self.logger.log_message(
             f"latent cache: {self._latent_cache.shape[0]} images -> "
             f"moments {self._latent_cache.shape[1:]}")

@@ -69,12 +69,17 @@ class FrozenModels:
     vae_vars: Any = None
     schedule: DDPMSchedule = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # device-resident uint8 base images (N, H, W, 3) for the augmented
+    # recipe: the step gathers by batch.pixel_values indices so the host
+    # sends only int32 indices per step (tunneled-TPU transfer is slow)
+    pixel_cache: Any = None
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
                     compute_dtype: jnp.dtype = jnp.float32,
                     from_moments: bool = False,
                     augment=None,
+                    cache_pixels: bool = False,
                     ) -> Callable:
     """Build the (un-jitted) train step.
 
@@ -94,6 +99,9 @@ def make_train_step(optimizer: optax.GradientTransformation,
     if augment is not None and from_moments:
         raise ValueError("device augmentation and the latent cache are "
                          "mutually exclusive")
+    if cache_pixels and augment is None and not from_moments:
+        raise ValueError("cache_pixels requires device augmentation or "
+                         "the latent cache")
 
     def loss_fn(trainable, frozen, batch: TrainBatch, noisy, timesteps,
                 target, rng_drop):
@@ -118,14 +126,16 @@ def make_train_step(optimizer: optax.GradientTransformation,
         r_vae, r_noise, r_t, r_drop, r_aug = jax.random.split(rng, 5)
         if augment is not None:
             from view_neti_tpu.ops import device_augment
-            pixels = device_augment.augment_batch(
-                augment, r_aug, batch.pixel_values)
+            base = (frozen.pixel_cache[batch.pixel_values]
+                    if cache_pixels else batch.pixel_values)
+            pixels = device_augment.augment_batch(augment, r_aug, base)
             latents = frozen.vae.apply(
                 frozen.vae_vars, pixels.astype(compute_dtype),
                 r_vae, method=AutoencoderKL.encode_sample)
         elif from_moments:
-            mean, logvar = jnp.split(
-                batch.pixel_values.astype(jnp.float32), 2, axis=-1)
+            moments = (frozen.pixel_cache[batch.pixel_values]
+                       if cache_pixels else batch.pixel_values)
+            mean, logvar = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
             logvar = jnp.clip(logvar, -30.0, 20.0)
             eps = jax.random.normal(r_vae, mean.shape, jnp.float32)
             latents = (mean + jnp.exp(0.5 * logvar) * eps) \
@@ -149,6 +159,31 @@ def make_train_step(optimizer: optax.GradientTransformation,
         return trainable, opt_state, {"total_loss": loss}
 
     return step
+
+
+def make_multi_step(step_fn: Callable) -> Callable:
+    """lax.scan W optimizer steps inside ONE jit dispatch.
+
+    On a tunneled TPU every dispatch/fetch pays a ~30 ms host round-trip;
+    with the device-resident pixel cache a batch is just int32 indices, so
+    W windows of host data stack into (W, ...) arrays and the whole window
+    runs device-side. Returns multi(trainable, opt_state, frozen,
+    batches[W,...], rngs[W,2]) -> (trainable, opt_state,
+    {"total_loss": (W,)}).
+    """
+
+    def multi(trainable, opt_state, frozen, batches, rngs):
+        def body(carry, inp):
+            tr, st = carry
+            batch, key = inp
+            tr, st, metrics = step_fn(tr, st, frozen, batch, key)
+            return (tr, st), metrics["total_loss"]
+
+        (trainable, opt_state), losses = jax.lax.scan(
+            body, (trainable, opt_state), (batches, rngs))
+        return trainable, opt_state, {"total_loss": losses}
+
+    return multi
 
 
 def jit_train_step(step_fn: Callable, mesh=None, batch_sharding=None,

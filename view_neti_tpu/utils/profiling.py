@@ -47,6 +47,11 @@ class StepTimer:
             dt = now - self._last
             self._n += 1
             if self._n > self.skip:
+                if self.ema_s is not None and dt > 5 * self.ema_s:
+                    # jit compile / validation / checkpoint hiccup —
+                    # steady-state estimate must not absorb it
+                    self._last = now
+                    return self.ema_s
                 self.ema_s = (dt if self.ema_s is None
                               else (1 - self.alpha) * self.ema_s
                               + self.alpha * dt)
