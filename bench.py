@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: mode-2 textual-inversion training throughput (imgs/sec/chip).
 
-Measures the full jit train step at the reference's mode-2 shapes
-(BASELINE.md: SD-1.5, batch 3, DTU preprocess key 1 -> 512x384 images ->
-48x64 latents, 16-layer NeTI text conditioning, UNet fwd+bwd, AdamW):
-frozen weights are randomly initialized (identical FLOPs/memory traffic to
-ported weights; no egress in this environment).
+Default (BENCH_E2E=1): the SHIPPED augmented recipe (augmentation_key 7,
+DTU preprocess 1 -> 512x384, SD-1.5, fused batch 9, bf16) measured
+end-to-end through the Coach — host pipeline + on-device augmentation +
+VAE + UNet fwd/bwd + AdamW together, steady-state rate from the Coach's
+own timer. BENCH_E2E=0: the raw device train step on synthetic batches
+(round-1-comparable metric). Frozen weights are randomly initialized
+(identical FLOPs/memory traffic to ported weights; no egress here).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline normalizes against an estimated 6.0 imgs/sec for the reference
@@ -247,8 +249,11 @@ def _bench_e2e():
         "log": {"exp_dir": os.path.join(root, "run"),
                 "save_dataset_images": False, "save_steps": 10 ** 9},
         "eval": {"validation_prompts": None},
+        # round up to a multiple of the auto dispatch window (4) so a cold
+        # run compiles only ONE scan program (the 1-core host pays ~2 min
+        # per compile)
         "optim": {"mixed_precision": "bf16",
-                  "max_train_steps": steps + 3},
+                  "max_train_steps": -((steps + 3) // -4) * 4},
     })
     coach = Coach(cfg, calibration_dir=cal)
     # capture the Coach's own per-step rate (excludes jit compile) via the
@@ -287,7 +292,11 @@ def dtu_idxs_for_bench():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_E2E", "0") == "1":
+    # Headline = the SHIPPED augmented recipe measured end-to-end through
+    # the Coach (host pipeline + device step together) — the honest
+    # deployment number. BENCH_E2E=0 gives the raw device-step metric
+    # (round-1-comparable).
+    if os.environ.get("BENCH_E2E", "1") == "1":
         _bench_e2e()
     else:
         main()

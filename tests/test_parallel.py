@@ -136,3 +136,24 @@ class TestCoachMeshConfig:
     def test_indivisible_explicit_dp_raises(self, tmp_path):
         with pytest.raises(ValueError, match="not divisible"):
             self._coach(tmp_path, {"use_mesh": True, "dp": 8, "tp": 1})
+
+    def test_superstep_trains_on_mesh(self, tmp_path):
+        """The W-step scan dispatch composes with the dp mesh: stacked
+        (W, B, ...) batches shard the batch axis, losses stay finite."""
+        from view_neti_tpu.training.coach import Coach
+        cfg = decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 3,
+                     "resolution": 16, "flip_p": 0.0},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "log": {"exp_dir": str(tmp_path), "save_dataset_images": False},
+            "optim": {"max_train_steps": 3, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 1,
+                      "steps_per_dispatch": 2},
+            "parallel": {"use_mesh": True, "dp": 2, "tp": 2}})
+        coach = Coach(cfg, arch=builder.tiny_arch())
+        assert coach.mesh is not None and coach.use_pixel_cache
+        assert coach._dispatch_window() == 2
+        result = coach.train()
+        assert result["steps"] == 3
+        assert np.isfinite(result["final_loss"])
