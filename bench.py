@@ -286,6 +286,88 @@ def _bench_e2e():
           file=sys.stderr)
 
 
+def _bench_infer():
+    """Inference throughput: 768x576, 30 DPM++ steps, CFG 7.5, 3 seeds in
+    one jitted denoise loop (the DTU validation-protocol shape,
+    reference inference_dtu.py:238-240 + validate.py:568-573)."""
+    import tempfile
+    import time as _time
+    from view_neti_tpu.config import RunConfig, decode
+    from view_neti_tpu.data import dtu as dtu_mod
+    from view_neti_tpu.inference.pipeline import encode_uncond, generate
+    from view_neti_tpu.inference.prompt_manager import PromptManager
+    from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
+    from view_neti_tpu.tokenizer import FallbackTokenizer
+    from view_neti_tpu.training import builder
+    from view_neti_tpu.models.unet import sd15_unet_config
+    from view_neti_tpu.models.clip_text import sd15_text_config
+    from view_neti_tpu.models.vae import VAEConfig
+
+    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
+    arch = builder.SDArch(
+        text=sd15_text_config(),
+        unet=sd15_unet_config(use_flash_attention=use_flash),
+        vae=VAEConfig(), prediction_type="epsilon")
+    cfg = decode(RunConfig, {
+        "learnable_mode": 2,
+        "model": {"arch_view_net": 15, "arch_view_disable_tl": False,
+                  "word_embedding_dim": 768,
+                  "normalize_view_mapper_output": True,
+                  "output_bypass_alpha_view": 5.0, "pe_sigma_exp_key": 2},
+        "data": {"camera_representation": "dtu-12d", "dtu_subset": 6},
+        "optim": {"mixed_precision": "bf16"}})
+    rng_np = np.random.RandomState(0)
+    caldir = tempfile.mkdtemp()
+    for i in range(1, 65):
+        m = rng_np.randn(3, 4) * 100
+        with open(os.path.join(caldir, f"pos_{i:03d}.txt"), "w") as f:
+            f.write("\n".join(" ".join(f"{x:.4f}" for x in r) for r in m))
+    tok = FallbackTokenizer()
+    view_tokens = [dtu_mod.dtu_cam_params_to_token(
+        rng_np.randn(3, 4).astype(np.float32) * 100, i)
+        for i in dtu_mod.dtu_get_train_idxs(6)]
+    built = builder.build_models(cfg, tok, view_tokens, ["<skull>"],
+                                 arch=arch, compute_dtype=jnp.bfloat16,
+                                 calibration_dir=caldir)
+    frozen = built.frozen
+    schedule = DPMSolverSchedule()
+    n_steps = int(os.environ.get("BENCH_INFER_STEPS", "30"))
+    ts = schedule.set_timesteps(n_steps)
+    pm = PromptManager(
+        tok, frozen.text, built.trainable, ts,
+        placeholder_view_token_ids=built.placeholder_view_token_ids,
+        placeholder_object_token_ids=built.placeholder_object_token_ids)
+    vt = [t for t in tok.added_tokens if t.startswith("<view")][0]
+    ctx, ctx_b = pm.embed_prompt(f"{vt}. A photo of a <skull>")
+    uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok)
+    seeds = [0, 1, 2]
+    H, W = 576, 768
+    from view_neti_tpu.inference.pipeline import make_denoise_fn
+    denoise = make_denoise_fn(frozen.unet, None, schedule, n_steps, 7.5,
+                              jnp.bfloat16)
+
+    def run(seed_off):
+        return generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                        frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                        H, W, [s + seed_off for s in seeds], n_steps,
+                        7.5, jnp.bfloat16, denoise_fn=denoise)
+
+    imgs = run(0)  # compile
+    assert imgs.shape == (3, H, W, 3), imgs.shape
+    t0 = _time.time()
+    n_rounds = 3
+    for r in range(1, n_rounds + 1):
+        imgs = run(r)
+    dt = (_time.time() - t0) / (n_rounds * len(seeds))
+    print(json.dumps({
+        "metric": f"sec/image SD-1.5 NVS inference (768x576, "
+                  f"{n_steps} DPM++ steps, CFG, 3 seeds batched)",
+        "value": round(dt, 3),
+        "unit": "sec/image",
+        "vs_baseline": round(6.0 / dt, 3),
+    }))
+
+
 def dtu_idxs_for_bench():
     from view_neti_tpu.data import dtu as dtu_mod
     return dtu_mod.dtu_get_train_idxs(6)
@@ -296,7 +378,9 @@ if __name__ == "__main__":
     # the Coach (host pipeline + device step together) — the honest
     # deployment number. BENCH_E2E=0 gives the raw device-step metric
     # (round-1-comparable).
-    if os.environ.get("BENCH_E2E", "1") == "1":
+    if os.environ.get("BENCH_INFER", "0") == "1":
+        _bench_infer()
+    elif os.environ.get("BENCH_E2E", "1") == "1":
         _bench_e2e()
     else:
         main()
