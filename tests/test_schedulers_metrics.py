@@ -144,3 +144,18 @@ class TestMetrics:
         assert d_same.shape == (2,)
         np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
         assert (d_diff > 0).all()
+
+
+class TestSingleHeadAttention:
+    def test_chunked_matches_full(self):
+        """ops/attention.single_head_attention: q-chunking is exact."""
+        import jax
+        import jax.numpy as jnp
+        from view_neti_tpu.ops.attention import single_head_attention
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 37, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 37, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 37, 16)).astype(np.float32))
+        full = np.asarray(single_head_attention(q, k, v, chunk=64))
+        chunked = np.asarray(single_head_attention(q, k, v, chunk=8))
+        np.testing.assert_allclose(chunked, full, atol=1e-5)

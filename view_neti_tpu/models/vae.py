@@ -78,17 +78,16 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from view_neti_tpu.ops.attention import single_head_attention
         B, H, W, C = x.shape
         h = GroupNorm(self.norm_groups, self.dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="v")(h)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                            preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (C ** -0.5), axis=-1).astype(
-            self.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", probs, v)
+        # q-chunked exact attention: at 768x576 decode resolution L=6912
+        # and full (B, L, L) fp32 logits are ~570 MB/image
+        h = single_head_attention(q, k, v)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return x + h.reshape(B, H, W, C)
 

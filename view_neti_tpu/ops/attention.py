@@ -47,3 +47,36 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         if out is not None:
             return out
     return mha_jnp(q, k, v)
+
+
+def single_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          chunk: int = 8192) -> jnp.ndarray:
+    """Exact single-head attention for the VAE's spatial AttnBlock,
+    q-chunked so logits never materialize at (B, L, L) for large images.
+
+    The VAE bottleneck attention is single-head with C=512 — beyond the
+    flash kernel's d<=256 VMEM budget. Up to L=chunk the one-shot einsum
+    is fastest (768x576 -> L=6912 logits fit comfortably); beyond that
+    (1024x1024+ generation) queries are chunked, keeping the peak at
+    (B, chunk, L) while each row still sees its FULL key set (exact
+    softmax, no online accumulation needed). q/k/v: (B, L, C)."""
+    B, L, C = q.shape
+    scale = C ** -0.5
+    if L <= chunk:
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * scale, axis=-1)
+        return jnp.einsum("bqk,bkc->bqc", probs.astype(v.dtype), v)
+    pad = (-L) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    qs = qp.reshape(B, -1, chunk, C).transpose(1, 0, 2, 3)
+
+    def one(qc):  # (B, chunk, C)
+        logits = jnp.einsum("bqc,bkc->bqk", qc, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * scale, axis=-1)
+        return jnp.einsum("bqk,bkc->bqc", probs.astype(v.dtype), v)
+
+    out = jax.lax.map(one, qs)                      # (n, B, chunk, C)
+    out = out.transpose(1, 0, 2, 3).reshape(B, -1, C)
+    return out[:, :L]
