@@ -122,6 +122,24 @@ class TestSuperstepDispatch:
         assert np.isfinite(result["final_loss"])
         assert (Path(tmp_path) / "learned_embeds-steps-4.msgpack").exists()
 
+    def test_superstep_with_true_accumulation(self, tmp_path):
+        """With gradient accumulation (the mode-3 execution shape) windows
+        count MICRO-steps: w = steps_per_dispatch * k, and done optimizer
+        steps per dispatch = w // k."""
+        coach = _tiny_coach(tmp_path, **{
+            "data.augmentation_key": 7,
+            "data.flip_p": 0.0,
+            "optim.gradient_accumulation_steps": 2,
+            "optim.fuse_accumulation": False,   # keep MultiSteps(k=2)
+            "optim.train_batch_size": 2,
+            "optim.max_train_steps": 3,
+            "optim.steps_per_dispatch": 2})
+        assert coach.accum_k == 2 and coach.use_pixel_cache
+        assert coach._dispatch_window() == 4   # 2 opt steps x k=2 micro
+        result = coach.train()
+        assert result["steps"] == 3
+        assert np.isfinite(result["final_loss"])
+
     def test_latent_cache_rides_superstep(self, tmp_path):
         """The latent cache now lives in FrozenModels.pixel_cache too, so
         augmentation-free configs superstep as well."""

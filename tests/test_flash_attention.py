@@ -104,15 +104,25 @@ class TestProductionShapes:
 
 
 class TestFallbackGate:
-    def test_unsupported_shape_warns_once_and_returns_none(self):
+    def test_unsupported_big_shape_warns_once_and_returns_none(self):
         fa._fallback_warned.clear()
-        # 12x9=108 latents (deepest level at 768x576): Lq % 8 != 0
-        q, k, v = _rand_qkv(Lq=108, Lk=108, H=1, d=16)
+        # big logits with an unsupported head dim must warn loudly
+        q, k, v = _rand_qkv(Lq=1024, Lk=1024, H=1, d=12)
         with pytest.warns(UserWarning, match="falling back to jnp"):
             assert fa.flash_attention_compat(q, k, v) is None
         import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("error")   # second call must NOT warn
+            assert fa.flash_attention_compat(q, k, v) is None
+
+    def test_tiny_shape_falls_back_silently(self):
+        fa._fallback_warned.clear()
+        # 12x9=108 latents (deepest level at 768x576): Lq % 8 != 0, but
+        # the jnp path is the right choice there — no warning
+        q, k, v = _rand_qkv(Lq=108, Lk=108, H=1, d=16)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
             assert fa.flash_attention_compat(q, k, v) is None
 
     def test_supported_shape_does_not_warn(self):

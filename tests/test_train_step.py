@@ -388,3 +388,40 @@ class TestSphericalCameras:
             lambda a, b: float(jnp.abs(a - b).sum()),
             built.trainable["view"], trainable["view"])
         assert sum(jax.tree_util.tree_leaves(diff)) > 0
+
+
+class TestMultiStepScan:
+    def test_scan_matches_sequential_with_accumulation(self):
+        """make_multi_step (superstep dispatch) over a MultiSteps(k=2)
+        optimizer: scanning 4 microbatches = 2 optimizer steps, identical
+        to sequential stepping; losses come back per-microbatch."""
+        from view_neti_tpu.training.train_step import make_multi_step
+
+        cfg, built = _build(2, n_view=3)
+        inner = _optimizer(cfg, 2)
+        opt = optax.MultiSteps(inner, every_k_schedule=2)
+        step = make_train_step(opt)
+        batches = [_batch(built, B=2) for _ in range(4)]
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+
+        tr_a = jax.tree_util.tree_map(jnp.copy, built.trainable)
+        st_a = opt.init(built.trainable)
+        sstep = jax.jit(step)
+        for i in range(4):
+            tr_a, st_a, m = sstep(tr_a, st_a, built.frozen,
+                                  batches[i], keys[i])
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches)
+        multi = jax.jit(make_multi_step(step))
+        tr_b, st_b, metrics = multi(
+            jax.tree_util.tree_map(jnp.copy, built.trainable),
+            opt.init(built.trainable), built.frozen, stacked,
+            jnp.asarray(keys))
+        assert metrics["total_loss"].shape == (4,)
+        assert np.all(np.isfinite(np.asarray(metrics["total_loss"])))
+        # scanned vs sequential compiles reassociate f32 ops slightly
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-4, rtol=2e-3), tr_a, tr_b)

@@ -335,16 +335,22 @@ def flash_attention_compat(q, k, v) -> Optional[jnp.ndarray]:
     The gate is STATIC shape checks only; kernel/compile errors propagate
     loudly rather than silently degrading to the O(Lq*Lk)-memory jnp path
     (a VMEM overflow or Mosaic regression must be visible, not a 10x
-    throughput cliff with no signal)."""
+    throughput cliff with no signal). Tiny attentions (logits that fit in
+    ~a few MB, e.g. the UNet's 12x9=108-token level at 768x576) fall back
+    WITHOUT a warning — there the jnp path is both harmless and measurably
+    faster than a kernel launch."""
     B, Lq, H, d = q.shape
+    Lk = k.shape[1]
     if Lq % 8 != 0 or d % 8 != 0 or d > 256:
-        key = (Lq, k.shape[1], d)
-        if key not in _fallback_warned:
-            _fallback_warned.add(key)
-            import warnings
-            warnings.warn(
-                f"flash attention: unsupported shape Lq={Lq} Lk={k.shape[1]}"
-                f" d={d} (need Lq%8==0, d%8==0, d<=256); falling back to jnp"
-                f" attention, which materializes (B*H, Lq, Lk) logits")
+        if Lq * Lk > 512 * 512:
+            key = (Lq, Lk, d)
+            if key not in _fallback_warned:
+                _fallback_warned.add(key)
+                import warnings
+                warnings.warn(
+                    f"flash attention: unsupported shape Lq={Lq} Lk={Lk}"
+                    f" d={d} (need Lq%8==0, d%8==0, d<=256); falling back"
+                    f" to jnp attention, which materializes (B*H, Lq, Lk)"
+                    f" logits")
         return None
     return flash_attention(q, k, v)

@@ -392,7 +392,7 @@ class Coach:
                 trainable, opt_state, metrics = multi(
                     trainable, opt_state, self.built.frozen, stacked, keys)
                 micro_step += w
-                done = w
+                done = w // k   # windows are whole k-microbatch groups
                 timer.tick()
             else:
                 batch = self._build_batch(next(stream))
@@ -414,7 +414,7 @@ class Coach:
                 # dispatch.
                 prev = self._pending_metrics
                 self._pending_metrics = (
-                    self.global_step, metrics,
+                    self.global_step, done, metrics,
                     self.micro_batch_size * max(w, 1))
                 if prev is not None:
                     last_loss = self._log_step_metrics(prev, timer)
@@ -450,9 +450,13 @@ class Coach:
         """Materialize + log a completed dispatch's metrics (see the
         pipelining note in train()); superstep dispatches carry one loss
         per scanned optimizer step. Returns the newest loss."""
-        end_step, metrics, imgs_per_tick = pending
+        end_step, n_opt, metrics, imgs_per_tick = pending
         losses = np.atleast_1d(
             np.asarray(metrics["total_loss"], np.float32))
+        # with accumulation, only every k-th microbatch closes an optimizer
+        # step — log that one (matches the reference's per-step loss)
+        stride = max(1, len(losses) // max(1, n_opt))
+        losses = losses[stride - 1::stride]
         ips = timer.imgs_per_sec(imgs_per_tick)
         for idx, loss in enumerate(losses):
             step_at = end_step - (len(losses) - 1 - idx)
@@ -478,21 +482,23 @@ class Coach:
             object_idx=batch_np["object_idx"])
 
     def _dispatch_window(self) -> int:
-        """How many optimizer steps the next dispatch may scan: capped by
-        optim.steps_per_dispatch and shrunk to land exactly on save /
-        validation / end boundaries."""
+        """MICRO-steps the next dispatch may scan: steps_per_dispatch
+        optimizer steps (shrunk to land exactly on save/validation/end
+        boundaries) times the accumulation factor — with true accumulation
+        (mode 3) a window scans whole k-microbatch groups, so MultiSteps
+        boundaries stay inside the dispatch."""
         cfg = self.cfg
-        if self.steps_per_dispatch <= 1 or self.accum_k != 1:
+        if self.steps_per_dispatch <= 1:
             return 1
-        w = min(self.steps_per_dispatch,
-                cfg.optim.max_train_steps - self.global_step)
+        w_opt = min(self.steps_per_dispatch,
+                    cfg.optim.max_train_steps - self.global_step)
         s = cfg.log.save_steps
-        w = min(w, s - (self.global_step % s))
+        w_opt = min(w_opt, s - (self.global_step % s))
         if (self.validator is not None
                 and cfg.eval.validation_prompts is not None):
             v = cfg.eval.validation_steps
-            w = min(w, v - (self.global_step % v))
-        return max(1, w)
+            w_opt = min(w_opt, v - (self.global_step % v))
+        return max(1, w_opt) * self.accum_k
 
     def _resolve_multi(self, w: int, stacked: TrainBatch):
         """Jitted W-step scan (train_step.make_multi_step), cached per
@@ -514,11 +520,13 @@ class Coach:
 
     def _base_cache_fits(self) -> bool:
         """Do all uint8 base images fit under
-        VIEW_NETI_DEVICE_BASE_CACHE_MB (default 2048)?"""
+        VIEW_NETI_DEVICE_BASE_CACHE_MB? Default 4096 MB — covers the
+        88-scene mode-3 pretraining set (~2.5 GB of 512x384 bases) while
+        leaving the frozen SD stack plenty of HBM on a 16 GB chip."""
         import os as _os
         ds = self.train_dataset
         limit = int(_os.environ.get(
-            "VIEW_NETI_DEVICE_BASE_CACHE_MB", "2048")) * 1_000_000
+            "VIEW_NETI_DEVICE_BASE_CACHE_MB", "4096")) * 1_000_000
         first = ds._load_base(Path(ds.image_paths_flattened[0]))
         return first.nbytes * ds.num_images <= limit
 
