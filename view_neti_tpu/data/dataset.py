@@ -145,6 +145,7 @@ class TextualInversionDataset:
         # the resized image), so cache it as uint8 — on a 1-core TPU VM the
         # PNG decode otherwise dominates the augmented-config step.
         import os as _os
+        self._tok_cache: Dict[str, np.ndarray] = {}
         self._base_cache: Dict[str, np.ndarray] = {}
         self._base_cache_limit = int(_os.environ.get(
             "VIEW_NETI_BASE_CACHE_MB", "512")) * 1_000_000
@@ -333,9 +334,17 @@ class TextualInversionDataset:
             example["input_ids_placeholder_view"] = np.int32(
                 self.tokenizer.convert_tokens_to_ids(view_token))
 
-        example["input_ids"] = self.tokenizer(
-            example["text"], padding="max_length", truncation=True,
-            max_length=self.tokenizer.model_max_length).input_ids[0]
+        # captions come from a small closed set (templates x placeholder
+        # tokens); cache tokenizations — BPE on the 1-core host otherwise
+        # shows up in the steady-state step time
+        ids = self._tok_cache.get(example["text"])
+        if ids is None:
+            ids = np.asarray(self.tokenizer(
+                example["text"], padding="max_length", truncation=True,
+                max_length=self.tokenizer.model_max_length).input_ids[0])
+            ids.setflags(write=False)
+            self._tok_cache[example["text"]] = ids
+        example["input_ids"] = ids
         if self.learnable_mode == 3:
             example["object_idx"] = np.int32(self.current_object_idx)
         else:
