@@ -253,7 +253,7 @@ def _bench_e2e():
         # run compiles only ONE scan program (the 1-core host pays ~2 min
         # per compile)
         "optim": {"mixed_precision": "bf16",
-                  "max_train_steps": -((steps + 3) // -4) * 4},
+                  "max_train_steps": -(steps // -4) * 4},
     })
     coach = Coach(cfg, calibration_dir=cal)
     # capture the Coach's own per-step rate (excludes jit compile) via the

@@ -110,34 +110,46 @@ class _Step:
     fn: object
 
 
+# SINGLE SOURCE OF TRUTH for presets 1-8 (reference training/
+# dataset.py:238-316), consumed by build_augmentations (host/PIL) AND
+# ops/device_augment.from_augmentation_key (on-device). Op order is fixed
+# for every preset: jitter, grayscale, blur, rotation, crop. Common
+# parameters: jitter p=0.75 strength 0.04x4, blur sigma (0.1, 0.2),
+# rotation +-10 deg fill=1, crop p=1 ratio (3/4, 4/3).
+AUGMENTATION_PRESETS = {
+    1: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75, crop_scale=(0.850, 1.15)),
+    2: dict(gray_p=0.1, blur_p=0.10),
+    3: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75),
+    4: dict(gray_p=0.1, blur_p=0.10, crop_scale=(0.850, 1.15)),
+    5: dict(blur_p=0.25, crop_scale=(0.950, 1.05)),
+    6: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75, crop_scale=(0.70, 1.3)),
+    7: dict(blur_p=0.2, rot_p=0.75, crop_scale=(0.70, 1.3)),
+    8: dict(gray_p=0.1, blur_p=0.10),
+}
+
+
 def build_augmentations(augmentation_key: int, size: Tuple[int, int]
                         ) -> List[_Step]:
-    """Presets 1-8 from reference training/dataset.py:238-316. `size` is
-    (h, w) for the RandomResizedCrop."""
-    cj = lambda rng, im: color_jitter(im, rng, 0.04, 0.04, 0.04, 0.04)
-    gray = lambda rng, im: ImageOps.grayscale(im).convert("RGB")
-    blur = lambda rng, im: gaussian_blur(im, rng, (0.1, 0.2))
-    rot = lambda rng, im: random_rotation(im, rng, 10, fill=1)
-
-    def crop(scale):
-        return lambda rng, im: random_resized_crop(im, rng, size, scale)
-
-    presets = {
-        1: [(0.75, cj), (0.1, gray), (0.10, blur), (0.75, rot),
-            (1.0, crop((0.850, 1.15)))],
-        2: [(0.75, cj), (0.1, gray), (0.10, blur)],
-        3: [(0.75, cj), (0.1, gray), (0.10, blur), (0.75, rot)],
-        4: [(0.75, cj), (0.1, gray), (0.10, blur),
-            (1.0, crop((0.850, 1.15)))],
-        5: [(0.75, cj), (0.25, blur), (1.0, crop((0.950, 1.05)))],
-        6: [(0.75, cj), (0.1, gray), (0.10, blur), (0.75, rot),
-            (1.0, crop((0.70, 1.3)))],
-        7: [(0.75, cj), (0.2, blur), (0.75, rot), (1.0, crop((0.70, 1.3)))],
-        8: [(0.75, cj), (0.1, gray), (0.10, blur)],
-    }
-    if augmentation_key not in presets:
+    """Host/PIL pipeline for AUGMENTATION_PRESETS. `size` is (h, w) for
+    the RandomResizedCrop."""
+    if augmentation_key not in AUGMENTATION_PRESETS:
         raise ValueError(f"unknown augmentation_key {augmentation_key}")
-    return [_Step(p, fn) for p, fn in presets[augmentation_key]]
+    p = AUGMENTATION_PRESETS[augmentation_key]
+    steps = [(0.75, lambda rng, im: color_jitter(
+        im, rng, 0.04, 0.04, 0.04, 0.04))]
+    if p.get("gray_p"):
+        steps.append((p["gray_p"],
+                      lambda rng, im: ImageOps.grayscale(im).convert("RGB")))
+    steps.append((p["blur_p"],
+                  lambda rng, im: gaussian_blur(im, rng, (0.1, 0.2))))
+    if p.get("rot_p"):
+        steps.append((p["rot_p"],
+                      lambda rng, im: random_rotation(im, rng, 10, fill=1)))
+    if p.get("crop_scale"):
+        scale = p["crop_scale"]
+        steps.append((1.0, lambda rng, im: random_resized_crop(
+            im, rng, size, scale)))
+    return [_Step(prob, fn) for prob, fn in steps]
 
 
 def apply_augmentations(img: Image.Image, steps: Sequence[_Step],

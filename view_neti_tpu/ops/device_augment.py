@@ -69,26 +69,23 @@ class AugmentSpec:
 
 def from_augmentation_key(augmentation_key: int,
                           flip_p: float = 0.0) -> Optional[AugmentSpec]:
-    """Device twin of data/augment.py build_augmentations. Returns None
+    """Device twin of data/augment.py build_augmentations, built from the
+    same AUGMENTATION_PRESETS table (single source of truth). Returns None
     when there is nothing to do on device."""
-    base = dict(jitter_p=0.75, flip_p=flip_p)
-    presets = {
-        0: dict(jitter_p=0.0, flip_p=flip_p),
-        1: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75, crop_p=1.0,
-                crop_scale=(0.850, 1.15)),
-        2: dict(gray_p=0.1, blur_p=0.10),
-        3: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75),
-        4: dict(gray_p=0.1, blur_p=0.10, crop_p=1.0,
-                crop_scale=(0.850, 1.15)),
-        5: dict(blur_p=0.25, crop_p=1.0, crop_scale=(0.950, 1.05)),
-        6: dict(gray_p=0.1, blur_p=0.10, rot_p=0.75, crop_p=1.0,
-                crop_scale=(0.70, 1.3)),
-        7: dict(blur_p=0.2, rot_p=0.75, crop_p=1.0, crop_scale=(0.70, 1.3)),
-        8: dict(gray_p=0.1, blur_p=0.10),
-    }
-    if augmentation_key not in presets:
+    from view_neti_tpu.data.augment import AUGMENTATION_PRESETS
+    if augmentation_key == 0:
+        spec = AugmentSpec(flip_p=flip_p)
+        return None if spec.identity else spec
+    if augmentation_key not in AUGMENTATION_PRESETS:
         raise ValueError(f"unknown augmentation_key {augmentation_key}")
-    spec = AugmentSpec(**{**base, **presets[augmentation_key]})
+    p = AUGMENTATION_PRESETS[augmentation_key]
+    spec = AugmentSpec(
+        jitter_p=0.75, flip_p=flip_p,
+        gray_p=p.get("gray_p", 0.0),
+        blur_p=p["blur_p"],
+        rot_p=p.get("rot_p", 0.0),
+        crop_p=1.0 if p.get("crop_scale") else 0.0,
+        crop_scale=p.get("crop_scale", (0.85, 1.15)))
     return None if spec.identity else spec
 
 

@@ -684,6 +684,7 @@ class Coach:
         limit = self.cfg.log.checkpoints_total_limit
         if not limit:
             return
+        import shutil
         root = Path(self.cfg.log.exp_dir)
         steps = sorted({
             int(p.name.split("-steps-")[1].split(".")[0].split("_")[0])
@@ -693,6 +694,10 @@ class Coach:
                 p.unlink()
             for p in root.glob(f"*-steps-{step}_*.msgpack"):
                 p.unlink()
+            # orbax train states follow the same limit
+            state = root / "orbax" / f"state-{step}"
+            if state.is_dir():
+                shutil.rmtree(state)
 
     def _save(self, trainable, embeds_name: str, mapper_name: str,
               opt_state=None) -> None:

@@ -290,9 +290,18 @@ class ValidationHandler:
                                   7.5, coach.compute_dtype)
         rows = []
         for prompt in prompts:
+            # resolve the mode-3 mapper slice by exact TOKEN ID membership
+            # (substring matching misfires on nested token texts, e.g.
+            # "<statue>" vs "<statue2>" without enforced delimiters)
+            prompt_ids = set(int(x) for x in np.asarray(
+                coach.tokenizer(
+                    prompt, padding="max_length", truncation=True,
+                    max_length=coach.tokenizer.model_max_length
+                ).input_ids[0]).tolist())
             object_idx = 0
-            for i, tok in enumerate(coach.placeholder_object_tokens or ()):
-                if tok in prompt:
+            for i, tok_id in enumerate(
+                    coach.built.placeholder_object_token_ids or ()):
+                if int(tok_id) in prompt_ids:
                     object_idx = i
                     break
             ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)

@@ -38,6 +38,7 @@ class StepTimer:
         self.alpha = alpha
         self.skip = skip
         self._n = 0
+        self._rejects = 0
         self._last = None
         self.ema_s: Optional[float] = None
 
@@ -47,11 +48,16 @@ class StepTimer:
             dt = now - self._last
             self._n += 1
             if self._n > self.skip:
-                if self.ema_s is not None and dt > 5 * self.ema_s:
+                if (self.ema_s is not None and dt > 5 * self.ema_s
+                        and self._rejects < 3):
                     # jit compile / validation / checkpoint hiccup —
-                    # steady-state estimate must not absorb it
+                    # steady-state estimate must not absorb it. A RUN of
+                    # slow ticks is a real regime change though; after 3
+                    # consecutive rejects the EMA adapts.
+                    self._rejects += 1
                     self._last = now
                     return self.ema_s
+                self._rejects = 0
                 self.ema_s = (dt if self.ema_s is None
                               else (1 - self.alpha) * self.ema_s
                               + self.alpha * dt)
