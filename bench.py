@@ -271,6 +271,8 @@ def _bench_e2e():
         # run compiles only ONE scan program (the 1-core host pays ~2 min
         # per compile)
         "optim": {"mixed_precision": "bf16",
+                  "steps_per_dispatch": int(os.environ.get("BENCH_SPD",
+                                                           "0")),
                   "max_train_steps": -(steps // -4) * 4},
     })
     coach = Coach(cfg, calibration_dir=cal)
