@@ -22,7 +22,7 @@ from view_neti_tpu.data.dataset import DataLoader, TextualInversionDataset
 from view_neti_tpu.tokenizer import load_tokenizer
 from view_neti_tpu.training import builder
 from view_neti_tpu.training.logger import CoachLogger
-from view_neti_tpu.training.optim import (make_lr_schedule,
+from view_neti_tpu.training.optim import (host_lr_table, make_lr_schedule,
                                           scaled_learning_rate, sliced_adamw)
 from view_neti_tpu.training.train_step import (TrainBatch, make_train_step,
                                                jit_train_step)
@@ -94,6 +94,10 @@ class Coach:
                                  cfg.optim.lr_warmup_steps,
                                  cfg.optim.max_train_steps)
         self.lr_schedule = sched
+        # host-side lr values for logging: the loop must NEVER dispatch a
+        # device computation between superstep dispatches (see
+        # optim.host_lr_table)
+        self._lr_host = host_lr_table(sched, cfg.optim.max_train_steps)
         stacked, frozen_keys = builder.trainable_mask_keys(cfg.learnable_mode)
         inner = sliced_adamw(sched, cfg.optim.adam_beta1,
                              cfg.optim.adam_beta2, cfg.optim.adam_epsilon,
@@ -241,21 +245,33 @@ class Coach:
             set_name="train")
 
     def _load_pretrained_weights(self, weights_dir: str) -> None:
-        """Overlay local ported SD weights onto the random-init stack."""
+        """Overlay local ported SD weights onto the random-init stack.
+
+        Strict by default: a key the mapping expects but the checkpoint
+        lacks, an unconsumed checkpoint tensor, or a flax leaf left at
+        random init all raise (VERDICT r2 — no silent partial ports).
+        VIEW_NETI_LAX_WEIGHTS=1 downgrades to logged warnings."""
         import dataclasses as dc
+        import os as _os
         from view_neti_tpu import weight_port
         arch = self.built.arch
+        strict = not _os.environ.get("VIEW_NETI_LAX_WEIGHTS")
+        log = self.logger.log_message
         ported = weight_port.load_sd_weights(
             Path(weights_dir), text_layers=arch.text.num_layers,
             use_linear_projection=arch.unet.use_linear_projection,
-            vocab_headroom=arch.text.vocab_headroom)
+            vocab_headroom=arch.text.vocab_headroom,
+            strict=strict, log=log)
         frozen = self.built.frozen
         unet_vars = {"params": weight_port.merge_ported(
-            jax.device_get(frozen.unet_vars["params"]), ported["unet"])}
+            jax.device_get(frozen.unet_vars["params"]), ported["unet"],
+            label="unet", strict=strict, log=log)}
         vae_vars = {"params": weight_port.merge_ported(
-            jax.device_get(frozen.vae_vars["params"]), ported["vae"])}
+            jax.device_get(frozen.vae_vars["params"]), ported["vae"],
+            label="vae", strict=strict, log=log)}
         clip_params = weight_port.merge_ported(
-            jax.device_get(frozen.text.clip_vars["params"]), ported["clip"])
+            jax.device_get(frozen.text.clip_vars["params"]), ported["clip"],
+            label="clip", strict=strict, log=log)
         text = dc.replace(frozen.text,
                           clip_vars={"params": clip_params})
         self.built.frozen = dc.replace(frozen, unet_vars=unet_vars,
@@ -461,7 +477,8 @@ class Coach:
         for idx, loss in enumerate(losses):
             step_at = end_step - (len(losses) - 1 - idx)
             logs = {"total_loss": float(loss),
-                    "lr": float(self.lr_schedule(step_at))}
+                    "lr": float(self._lr_host[
+                        min(step_at, len(self._lr_host) - 1)])}
             if ips and idx == len(losses) - 1:
                 logs["imgs_per_sec"] = ips
             self.logger.log_metrics(logs, step=step_at)

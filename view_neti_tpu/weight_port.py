@@ -12,10 +12,50 @@ OIHW -> HWIO; GroupNorm/LayerNorm weight/bias -> scale/bias.
 """
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
+
+
+@dataclasses.dataclass
+class PortReport:
+    """Accounting for one component's port (VERDICT r2: a silent partial
+    port must be impossible — every skipped key is counted and loggable).
+
+    missing_optional: mapping keys absent from the checkpoint that are
+    LEGITIMATELY absent (conv_shortcut of equal-channel resnets — diffusers
+    only instantiates it when in_channels != out_channels).
+    missing: mapping keys absent from the checkpoint that SHOULD exist —
+    any entry here means the mapping or the checkpoint is wrong.
+    unconsumed: checkpoint keys the mapping never touched (a forgotten
+    submodule, or non-parameter buffers like position_ids)."""
+    name: str
+    ported: int = 0
+    missing: List[str] = dataclasses.field(default_factory=list)
+    missing_optional: List[str] = dataclasses.field(default_factory=list)
+    unconsumed: List[str] = dataclasses.field(default_factory=list)
+
+    # torch keys that may legitimately be absent from a checkpoint, and
+    # checkpoint keys that are not parameters of the model
+    OPTIONAL_SUBSTRINGS = ("conv_shortcut",)
+    IGNORABLE_SUBSTRINGS = ("position_ids",)
+
+    def summary(self) -> str:
+        s = (f"{self.name}: ported {self.ported} tensors"
+             f" ({len(self.missing_optional)} optional absent)")
+        if self.missing:
+            s += (f"; MISSING {len(self.missing)} expected keys, "
+                  f"e.g. {self.missing[:3]}")
+        if self.unconsumed:
+            s += (f"; {len(self.unconsumed)} checkpoint keys unconsumed, "
+                  f"e.g. {self.unconsumed[:3]}")
+        return s
+
+    @property
+    def clean(self) -> bool:
+        return not self.missing and not self.unconsumed
 
 
 # --------------------------------------------------------------------------
@@ -84,16 +124,26 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
 
 def _apply_mapping(sd: Dict[str, np.ndarray],
                    mapping: Dict[str, Tuple[Tuple[str, ...], Callable]],
-                   strict: bool = True) -> Dict:
+                   strict: bool = True,
+                   report: Optional[PortReport] = None) -> Dict:
     params: Dict = {}
-    missing = []
+    report = report if report is not None else PortReport("port")
     for torch_key, (flax_path, tf) in mapping.items():
         if torch_key not in sd:
-            missing.append(torch_key)
+            if any(s in torch_key for s in report.OPTIONAL_SUBSTRINGS):
+                report.missing_optional.append(torch_key)
+            else:
+                report.missing.append(torch_key)
             continue
         _set(params, flax_path, tf(sd[torch_key]))
-    if strict and missing:
-        raise KeyError(f"missing {len(missing)} keys, e.g. {missing[:5]}")
+        report.ported += 1
+    report.unconsumed = [
+        k for k in sd
+        if k not in mapping
+        and not any(s in k for s in report.IGNORABLE_SUBSTRINGS)]
+    if strict and report.missing:
+        raise KeyError(f"{report.name}: missing {len(report.missing)} "
+                       f"keys, e.g. {report.missing[:5]}")
     return params
 
 
@@ -286,17 +336,23 @@ def clip_text_mapping(num_layers: int = 12) -> Dict:
 # entry points
 # --------------------------------------------------------------------------
 
-def port_unet(sd: Dict[str, np.ndarray], **cfg) -> Dict:
-    return _apply_mapping(sd, unet_mapping(**cfg), strict=False)
+def port_unet(sd: Dict[str, np.ndarray],
+              report: Optional[PortReport] = None, **cfg) -> Dict:
+    return _apply_mapping(sd, unet_mapping(**cfg), strict=False,
+                          report=report)
 
 
-def port_vae(sd: Dict[str, np.ndarray], **cfg) -> Dict:
-    return _apply_mapping(sd, vae_mapping(**cfg), strict=False)
+def port_vae(sd: Dict[str, np.ndarray],
+             report: Optional[PortReport] = None, **cfg) -> Dict:
+    return _apply_mapping(sd, vae_mapping(**cfg), strict=False,
+                          report=report)
 
 
 def port_clip_text(sd: Dict[str, np.ndarray], num_layers: int = 12,
-                   vocab_headroom: int = 128) -> Dict:
-    params = _apply_mapping(sd, clip_text_mapping(num_layers), strict=False)
+                   vocab_headroom: int = 128,
+                   report: Optional[PortReport] = None) -> Dict:
+    params = _apply_mapping(sd, clip_text_mapping(num_layers), strict=False,
+                            report=report)
     # grow the token table with headroom rows (zero-init; placeholder rows
     # are filled from super-categories at setup)
     tab = params["token_embedding"]
@@ -307,36 +363,72 @@ def port_clip_text(sd: Dict[str, np.ndarray], num_layers: int = 12,
 
 def load_sd_weights(model_dir: Path, text_layers: int = 12,
                     use_linear_projection: bool = False,
-                    vocab_headroom: int = 128) -> Dict[str, Dict]:
+                    vocab_headroom: int = 128,
+                    strict: bool = True,
+                    log=None) -> Dict[str, Dict]:
     """Load a local diffusers-layout SD directory into flax param trees.
 
     Returns {"unet": ..., "vae": ..., "clip": ...} param dicts ready to
     replace the randomly-initialized trees from training/builder.py.
+
+    strict=True (default): raise if any component's port is not CLEAN —
+    i.e. a mapping key the checkpoint should have is absent, or a
+    checkpoint tensor went unconsumed. A partial port only proceeds with
+    strict=False, and even then every skip is logged (VERDICT r2: a
+    typo'd torch key must never ship random weights silently).
     """
+    log = log or (lambda m: print(f"[weight_port] {m}"))
     model_dir = Path(model_dir)
     out = {}
+    reports = []
+    r = PortReport("unet")
     out["unet"] = port_unet(
         load_state_dict(_find_weights_file(model_dir / "unet")),
-        use_linear_projection=use_linear_projection)
+        use_linear_projection=use_linear_projection, report=r)
+    reports.append(r)
+    r = PortReport("vae")
     out["vae"] = port_vae(
-        load_state_dict(_find_weights_file(model_dir / "vae")))
+        load_state_dict(_find_weights_file(model_dir / "vae")), report=r)
+    reports.append(r)
+    r = PortReport("clip")
     out["clip"] = port_clip_text(
         load_state_dict(_find_weights_file(model_dir / "text_encoder")),
-        num_layers=text_layers, vocab_headroom=vocab_headroom)
+        num_layers=text_layers, vocab_headroom=vocab_headroom, report=r)
+    reports.append(r)
+    for r in reports:
+        log(r.summary())
+    bad = [r for r in reports if not r.clean]
+    if strict and bad:
+        raise KeyError(
+            "weight port is not clean: "
+            + "; ".join(r.summary() for r in bad)
+            + " — fix the checkpoint/mapping or pass strict=False "
+              "(VIEW_NETI_LAX_WEIGHTS=1 from the CLI)")
     return out
 
 
-def merge_ported(params_init: Dict, ported: Dict) -> Dict:
+def merge_ported(params_init: Dict, ported: Dict, label: str = "",
+                 strict: bool = False, log=None) -> Dict:
     """Overlay ported leaves onto an init tree (keeps leaves the port is
-    missing, verifies shapes on the ones it has)."""
-    import jax
+    missing, verifies shapes on the ones it has).
+
+    Counts the leaves kept from random init and logs their paths;
+    strict=True raises if ANY leaf stayed unported (use when the port is
+    expected to be total, e.g. a full SD checkpoint)."""
+    kept: List[str] = []
 
     def merge(a, b, path=""):
         if isinstance(a, dict):
-            return {k: merge(v, b.get(k), f"{path}/{k}")
-                    if isinstance(b, dict) and k in b else v
-                    for k, v in a.items()}
+            out = {}
+            for k, v in a.items():
+                if isinstance(b, dict) and k in b:
+                    out[k] = merge(v, b[k], f"{path}/{k}")
+                else:
+                    kept.extend(_leaf_paths(v, f"{path}/{k}"))
+                    out[k] = v
+            return out
         if b is None:
+            kept.append(path)
             return a
         if np.shape(a) != np.shape(b):
             raise ValueError(
@@ -344,7 +436,23 @@ def merge_ported(params_init: Dict, ported: Dict) -> Dict:
                 f"ported {np.shape(b)}")
         return np.asarray(b, dtype=np.asarray(a).dtype)
 
-    return merge(params_init, ported)
+    merged = merge(params_init, ported)
+    if kept:
+        msg = (f"merge_ported[{label}]: {len(kept)} leaves KEPT FROM "
+               f"RANDOM INIT (unported), e.g. {kept[:5]}")
+        if strict:
+            raise ValueError(msg)
+        (log or (lambda m: print(f"[weight_port] {m}")))(msg)
+    return merged
+
+
+def _leaf_paths(tree, prefix="") -> List[str]:
+    if isinstance(tree, dict):
+        out = []
+        for k, v in tree.items():
+            out.extend(_leaf_paths(v, f"{prefix}/{k}"))
+        return out
+    return [prefix]
 
 
 def load_lpips_npz(path: str, variables: Dict) -> Dict:
