@@ -215,9 +215,11 @@ def _bench_e2e():
 
     BENCH_MODE=2 (default): single-scene mode-2 recipe (augmentation 7,
     fused accumulation window). BENCH_MODE=3: multi-scene mode-3
-    pretraining recipe (augmentation 5, TRUE gradient accumulation with
-    per-microbatch scene resampling, superstep scanning whole
-    k-microbatch groups)."""
+    pretraining recipe (augmentation 5; r3 fuses the k-microbatch window
+    into one device batch of k per-scene GROUPS — TrainBatch.object_idx
+    (k,) — preserving the reference's per-microbatch scene resampling;
+    optim.fuse_accumulation=false restores true MultiSteps
+    accumulation)."""
     import tempfile
     from PIL import Image
     from view_neti_tpu.config import RunConfig, decode
@@ -335,9 +337,12 @@ def _bench_e2e():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_IMGS_PER_SEC_EST, 3),
     }))
+    rejected = getattr(getattr(coach, "last_step_timer", None),
+                       "rejected_total", 0)
     print(f"# wall={wall:.1f}s steps={result['steps']} "
           f"inst_rates_tail={[round(r, 2) for r in tail[-5:]]} "
-          f"ema_tail={[round(r, 2) for r in ema_tail[-3:]]}",
+          f"ema_tail={[round(r, 2) for r in ema_tail[-3:]]} "
+          f"timer_outlier_ticks_excluded={rejected}",
           file=sys.stderr)
 
 

@@ -12,6 +12,7 @@ Usage:
       --iteration 3000 --out results/summarize_dtu.csv
 """
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -27,6 +28,10 @@ def main():
     ap.add_argument("--out", type=Path,
                     default=Path("results/summarize_dtu.csv"))
     ap.add_argument("--do_lpips", action="store_true")
+    ap.add_argument("--lpips_weights", type=str,
+                    default=os.environ.get("LPIPS_WEIGHTS"),
+                    help=".npz from tools/export_lpips.py; implies "
+                         "--do_lpips")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -35,9 +40,13 @@ def main():
     from view_neti_tpu.ops import metrics as M
 
     lpips_fn = None
-    if args.do_lpips:
+    if args.do_lpips or args.lpips_weights:
         from view_neti_tpu.ops.metrics import make_lpips
-        lpips_fn = make_lpips()
+        if not args.lpips_weights:
+            print("warn: LPIPS with RANDOM VGG weights (relative numbers "
+                  "only) — pass --lpips_weights or set LPIPS_WEIGHTS for "
+                  "real LPIPS", file=sys.stderr)
+        lpips_fn = make_lpips(args.lpips_weights)
 
     rows = []
     for d in args.results_dirs:

@@ -51,9 +51,17 @@ def main():
         cfg.data.dtu_preprocess_key = -1  # miniature DTU protocol
     coach = Coach(cfg, arch=arch, calibration_dir=calibration_dir,
                   weights_dir=weights_dir)
+    # LPIPS_WEIGHTS: .npz exported by tools/export_lpips.py; when set,
+    # validation metrics include real LPIPS (reference loads lpips-VGG
+    # from the pip package at training/inference_dtu.py:19,637-651)
+    lpips_fn = None
+    lpips_weights = os.environ.get("LPIPS_WEIGHTS")
+    if lpips_weights:
+        from view_neti_tpu.ops.metrics import make_lpips
+        lpips_fn = make_lpips(lpips_weights)
     coach.validator = ValidationHandler(
         cfg, masks_root=os.environ.get("DTU_MASKS_DIR"),
-        calibration_dir=calibration_dir)
+        calibration_dir=calibration_dir, lpips_fn=lpips_fn)
     coach.train()
 
 

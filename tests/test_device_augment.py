@@ -284,3 +284,53 @@ class TestTrainStepIntegration:
         with pytest.raises(ValueError):
             make_train_step(optax.adamw(1e-3), from_moments=True,
                             augment=da.from_augmentation_key(7))
+
+
+class TestCropBoxDistribution:
+    """RandomResizedCrop parity (ADVICE r2 medium): the emitted box aspect
+    must stay inside crop_ratio even when scale*aspect draws overflow the
+    image (preset 7's scale goes to 1.3); torchvision retries then falls
+    back with the aspect clamped — it never emits an out-of-range ratio."""
+
+    def _boxes(self, spec, H, W, n=500):
+        def one(key):
+            ka, kar, ki, kj = jax.random.split(key, 4)
+            return da._sample_crop_box(ka, kar, ki, kj, H, W, spec)
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        i, j, bh, bw = jax.vmap(one)(keys)
+        return (np.asarray(i), np.asarray(j), np.asarray(bh),
+                np.asarray(bw))
+
+    def test_preset7_aspect_stays_in_ratio_bounds(self):
+        spec = da.from_augmentation_key(7)
+        H, W = 384, 512
+        i, j, bh, bw = self._boxes(spec, H, W)
+        ratio = bw / bh
+        r0, r1 = spec.crop_ratio
+        assert (ratio >= r0 - 1e-4).all() and (ratio <= r1 + 1e-4).all(), \
+            (ratio.min(), ratio.max())
+        assert (bw <= W + 1e-3).all() and (bh <= H + 1e-3).all()
+        assert (i >= -1e-3).all() and (j >= -1e-3).all()
+        assert (i + bh <= H + 1e-3).all() and (j + bw <= W + 1e-3).all()
+
+    def test_fallback_clamps_aspect_to_ratio_edge(self):
+        # a 512x64 strip can't fit any aspect in (0.75, 1.33) at scale>=0.7:
+        # torchvision falls back to width=W, height=W/ratio_min
+        spec = dataclasses.replace(
+            IDENTITY, crop_p=1.0, crop_scale=(0.7, 1.3),
+            crop_ratio=(3 / 4, 4 / 3))
+        i, j, bh, bw = self._boxes(spec, H=512, W=64, n=100)
+        ratio = bw / bh
+        assert np.allclose(ratio, 3 / 4, atol=1e-4)
+        assert np.allclose(bw, 64.0, atol=1e-3)
+
+    def test_in_bounds_draws_keep_sampled_aspect_spread(self):
+        # with scale <= 1 nearly every draw is valid: the aspect should
+        # SPREAD over the ratio range, not collapse to the edges
+        spec = dataclasses.replace(
+            IDENTITY, crop_p=1.0, crop_scale=(0.3, 0.7),
+            crop_ratio=(3 / 4, 4 / 3))
+        _, _, bh, bw = self._boxes(spec, H=384, W=512)
+        ratio = bw / bh
+        assert ratio.std() > 0.05
+        assert (ratio > 0.8).any() and (ratio < 1.25).any()

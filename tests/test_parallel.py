@@ -157,3 +157,83 @@ class TestCoachMeshConfig:
         result = coach.train()
         assert result["steps"] == 3
         assert np.isfinite(result["final_loss"])
+
+
+class TestTensorParallelNumerics:
+    """tp>1 must be numerically equivalent, not just finite (VERDICT r2
+    item 6): a dp=2 x tp=2 run with tensor_parallel frozen-kernel sharding
+    reproduces the single-device result for both the train step and the
+    inference denoise."""
+
+    def test_tp_sharded_inference_matches_replicated(self, built_mode0):
+        cfg, tok, built = built_mode0
+        mesh = pmesh.make_mesh(n_dp=2, n_tp=2,
+                               devices=jax.devices("cpu")[:4])
+        frozen = built.frozen
+        sh = pmesh.frozen_param_shardings(frozen.unet_vars, mesh,
+                                          tensor_parallel=True)
+        # the sharding tree must actually split kernels over 'tp'
+        assert any("tp" in str(s.spec)
+                   for s in jax.tree_util.tree_leaves(sh)), \
+            "tensor_parallel=True produced no tp-sharded kernels"
+        uv_sharded = pmesh.shard_pytree(frozen.unet_vars, sh)
+        n_steps = 2
+        schedule = DPMSolverSchedule()
+        ts = schedule.set_timesteps(n_steps)
+        pm = PromptManager(
+            tok, frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.placeholder_object_token_ids)
+        c0, cb0 = pm.embed_prompt("a photo of a <thing>")
+        c1, cb1 = pm.embed_prompt("another photo of a <thing>")
+        ctx = jnp.concatenate([c0, c1], axis=2)
+        ctx_b = jnp.concatenate([cb0, cb1], axis=2)
+        uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok,
+                               max_length=16)
+        kw = dict(height=16, width=16, seeds=[0], num_inference_steps=2)
+        a = generate_batch(frozen.unet, uv_sharded, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                           mesh=mesh, **kw)
+        b = generate_batch(frozen.unet, frozen.unet_vars, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                           mesh=None, **kw)
+        assert a.shape == b.shape == (2, 1, 16, 16, 3)
+        # uint8 outputs; reduction-order jitter only
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+TEAPOT_EXISTS = TEAPOT.exists()
+
+
+@pytest.mark.skipif(not TEAPOT_EXISTS, reason="bundled data missing")
+class TestTensorParallelTraining:
+    def _train(self, tmp_path, parallel):
+        from view_neti_tpu.training.coach import Coach
+        cfg = decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 3,
+                     "resolution": 16, "flip_p": 0.0},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "log": {"exp_dir": str(tmp_path), "save_dataset_images": False},
+            "optim": {"max_train_steps": 2, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 2, "seed": 7,
+                      "steps_per_dispatch": 1},
+            "parallel": parallel})
+        coach = Coach(cfg, arch=builder.tiny_arch())
+        coach.train()
+        return jax.device_get(coach.trainable)
+
+    def test_dp2_tp2_train_matches_single_device(self, tmp_path):
+        ref = self._train(tmp_path / "single", {"use_mesh": False})
+        tp = self._train(tmp_path / "tp",
+                         {"use_mesh": True, "dp": 2, "tp": 2,
+                          "tensor_parallel": True})
+        ref_l, treedef_a = jax.tree_util.tree_flatten(ref)
+        tp_l, treedef_b = jax.tree_util.tree_flatten(tp)
+        assert treedef_a == treedef_b
+        for la, lb in zip(ref_l, tp_l):
+            # dp/tp reduction order perturbs gradients at float eps; the
+            # early-training Adam update (mu_hat / (sqrt(nu_hat)+eps) with
+            # tiny nu) amplifies that to ~1e-3 relative on isolated
+            # elements (observed: 1/16384 elements at rel 1.8e-3)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=5e-3, atol=1e-5)

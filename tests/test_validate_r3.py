@@ -1,0 +1,241 @@
+"""Round-3 validation-surface behaviors (VERDICT r2 items 4, 5, and the
+failure-tolerance gap):
+
+  * the checkpoint-reload invariant is LOUD: in-training DTU eval warns
+    when the step-N mapper checkpoint is absent (falling back to live
+    params), and the offline path (on_missing_ckpt="raise") refuses
+    (reference training/inference_dtu.py:118-123 requires the reload);
+  * every in-training DTU validation round persists a re-scoreable
+    msgpack prediction bundle (reference validate.py:115-123 saves
+    validation-iter_*.pt);
+  * the mode-3 T2I view-generalization sweep renders free-text objects
+    VIEW-CONDITIONED across the DTU cameras with a GT strip (reference
+    validate.py:268-314), gated off by default;
+  * a validation failure logs and training continues (reference
+    validate.py:426-437 skip-and-continue).
+"""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from view_neti_tpu.config import RunConfig, decode
+from view_neti_tpu.training import builder
+
+TEAPOT = Path("/root/reference/data/datasets_mode0/colorful_teapot")
+
+
+@pytest.fixture(scope="module")
+def dtu_root(tmp_path_factory):
+    """Miniature synthetic DTU tree: one scan with images for every eval
+    camera, calibration files for all 64 cameras."""
+    from PIL import Image
+    from view_neti_tpu.data import dtu as dtu_mod
+    from view_neti_tpu.training import inference_dtu
+
+    root = tmp_path_factory.mktemp("dtu")
+    rng = np.random.RandomState(0)
+    cal = root / "Calibration" / "cal18"
+    cal.mkdir(parents=True)
+    for i in range(1, 65):
+        m = rng.randn(3, 4) * 100
+        (cal / f"pos_{i:03d}.txt").write_text(
+            "\n".join(" ".join(f"{x:.4f}" for x in r) for r in m))
+    scan = root / "Rectified" / "scan114"
+    scan.mkdir(parents=True)
+    cam_idxs, cam_idxs_train, _ = inference_dtu.get_cam_idxs(6)
+    for i in sorted(set(cam_idxs) | set(cam_idxs_train)):
+        img = Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        img.save(scan / f"rect_{i + 1:03d}_3_r5000.png")
+    return root
+
+
+def _dtu_coach(tmp_path, dtu_root, **overrides):
+    from view_neti_tpu.training.coach import Coach
+    data = {"learnable_mode": 2,
+            "debug": True,
+            "data": {"train_data_dir": str(dtu_root / "Rectified"
+                                           / "scan114"),
+                     "camera_representation": "dtu-12d",
+                     "dtu_subset": 6, "dtu_preprocess_key": -1,
+                     "repeats": 2, "resolution": 16,
+                     "placeholder_object_token": "<skull>"},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32,
+                      "arch_view_disable_tl": False},
+            "eval": {"num_validation_images": 1, "validation_seeds": [0]},
+            "log": {"exp_dir": str(tmp_path),
+                    "save_dataset_images": False, "save_steps": 1},
+            "optim": {"max_train_steps": 1, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 1}}
+    for dotted, v in overrides.items():
+        sect, key = dotted.split(".")
+        data.setdefault(sect, {})[key] = v
+    cfg = decode(RunConfig, data)
+    return Coach(cfg, arch=builder.tiny_arch(),
+                 calibration_dir=str(dtu_root / "Calibration" / "cal18"))
+
+
+@pytest.fixture(scope="module")
+def trained_dtu_coach(tmp_path_factory, dtu_root):
+    """One trained step with a saved checkpoint at step 1."""
+    tmp_path = tmp_path_factory.mktemp("exp")
+    coach = _dtu_coach(tmp_path, dtu_root)
+    coach.train()
+    return coach
+
+
+class TestReloadInvariantIsLoud:
+    def test_offline_path_raises_without_checkpoint(self,
+                                                    trained_dtu_coach):
+        from view_neti_tpu.training import inference_dtu
+        coach = trained_dtu_coach
+        cam_idxs, _, _ = inference_dtu.get_cam_idxs(6)
+        with pytest.raises(FileNotFoundError, match="mapper-steps-999"):
+            inference_dtu.dtu_generate_camidxs_to_preds(
+                coach, coach.trainable, cam_idxs[:1], step=999,
+                num_denoising_steps=1, seeds=[0],
+                on_missing_ckpt="raise")
+
+    def test_warn_path_logs_and_proceeds(self, trained_dtu_coach,
+                                         dtu_root, monkeypatch):
+        from view_neti_tpu.training import inference_dtu
+        coach = trained_dtu_coach
+        msgs = []
+        monkeypatch.setattr(coach.logger, "log_message", msgs.append)
+        cam_idxs, _, _ = inference_dtu.get_cam_idxs(6)
+        preds = inference_dtu.dtu_generate_camidxs_to_preds(
+            coach, coach.trainable, cam_idxs[:1], step=999,
+            num_denoising_steps=1, seeds=[0],
+            calibration_dir=str(dtu_root / "Calibration" / "cal18"),
+            on_missing_ckpt="warn")
+        assert any("WARNING" in m and "mapper-steps-999" in m
+                   for m in msgs)
+        assert len(preds) == 1
+
+    def test_reload_with_checkpoint_is_silent(self, trained_dtu_coach,
+                                              dtu_root, monkeypatch):
+        from view_neti_tpu.training import inference_dtu
+        coach = trained_dtu_coach
+        msgs = []
+        monkeypatch.setattr(coach.logger, "log_message", msgs.append)
+        cam_idxs, _, _ = inference_dtu.get_cam_idxs(6)
+        inference_dtu.dtu_generate_camidxs_to_preds(
+            coach, coach.trainable, cam_idxs[:1], step=1,
+            num_denoising_steps=1, seeds=[0],
+            calibration_dir=str(dtu_root / "Calibration" / "cal18"),
+            on_missing_ckpt="raise")
+        assert not any("WARNING" in m for m in msgs)
+
+
+class TestValidationBundle:
+    def test_infer_dtu_persists_rescoreable_bundle(self, trained_dtu_coach,
+                                                   dtu_root):
+        from flax import serialization
+        from view_neti_tpu.training.validate import ValidationHandler
+        coach = trained_dtu_coach
+        h = ValidationHandler(
+            coach.cfg,
+            calibration_dir=str(dtu_root / "Calibration" / "cal18"))
+        h.infer_dtu(coach, coach.trainable, step=1, num_steps=2)
+        bundles = list(Path(coach.cfg.log.exp_dir).glob(
+            "validation-iter_1-*.msgpack"))
+        assert len(bundles) == 1
+        bundle = serialization.msgpack_restore(bundles[0].read_bytes())
+        assert set(bundle) >= {"imgs_pred", "imgs_gt", "masks", "metrics",
+                               "seeds"}
+        # (n_seeds, n_cams, 300, 400, 3) at the metric protocol resolution
+        assert bundle["imgs_pred"].shape == (1, 2, 300, 400, 3)
+        assert bundle["imgs_gt"].shape == (2, 300, 400, 3)
+        assert np.isfinite(bundle["metrics"]["psnr_test_mean"])
+
+    def test_lpips_fn_reaches_metrics(self, trained_dtu_coach, dtu_root,
+                                      tmp_path):
+        """A synthetic-weights LPIPS fn wired through ValidationHandler
+        produces nonzero lpips means (the r2 gap: lpips_fn was
+        constructible but unreachable from any CLI)."""
+        from view_neti_tpu.ops.metrics import make_lpips
+        from view_neti_tpu.training.validate import ValidationHandler
+        from test_lpips_golden import _random_lpips_npz
+        npz = tmp_path / "lpips.npz"
+        _random_lpips_npz(npz, np.random.RandomState(0))
+        coach = trained_dtu_coach
+        h = ValidationHandler(
+            coach.cfg,
+            calibration_dir=str(dtu_root / "Calibration" / "cal18"),
+            lpips_fn=make_lpips(str(npz)))
+        results = h.infer_dtu(coach, coach.trainable, step=1, num_steps=2,
+                              return_instead_of_save=True)
+        assert results["lpips_test_mean"] != 0.0
+
+
+class TestT2IGeneralization:
+    def test_sweep_renders_view_conditioned_sheets(self, trained_dtu_coach,
+                                                   dtu_root):
+        coach = trained_dtu_coach
+        from view_neti_tpu.training.validate import ValidationHandler
+        h = ValidationHandler(
+            coach.cfg,
+            calibration_dir=str(dtu_root / "Calibration" / "cal18"))
+        h.infer_t2i_generalization(coach, coach.trainable, step=1,
+                                   num_steps=2, prompts=["a koala"])
+        sheets = list(Path(coach.cfg.log.exp_dir).glob(
+            "validation-iter_1-*_imgs_t2i_0.png"))
+        assert len(sheets) == 1
+
+    def test_mode3_gates_t2i_off_by_default(self, monkeypatch):
+        from view_neti_tpu.training.validate import ValidationHandler
+        cfg = decode(RunConfig, {
+            "learnable_mode": 3,
+            "data": {"placeholder_object_tokens": ["<a>"],
+                     "super_category_object_tokens": ["object"]}})
+        h = ValidationHandler(cfg)
+        calls = []
+        for name in ("infer_dtu", "infer_disentangled_objects_dtu",
+                     "infer_t2i_generalization"):
+            monkeypatch.setattr(
+                h, name, lambda *a, _n=name, **k: calls.append(_n) or {})
+
+        class C:
+            placeholder_object_tokens = ["<a>"]
+        h.infer_mode3(C(), {}, step=1, num_steps=2)
+        assert "infer_t2i_generalization" not in calls
+        calls.clear()
+        cfg.eval.do_t2i_generalization = True
+        h.infer_mode3(C(), {}, step=1, num_steps=2)
+        assert "infer_t2i_generalization" in calls
+
+
+@pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
+class TestValidationFailureTolerance:
+    def test_failed_validation_round_does_not_kill_training(self,
+                                                            tmp_path):
+        from view_neti_tpu.training.coach import Coach
+        cfg = decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 2,
+                     "resolution": 16},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "log": {"exp_dir": str(tmp_path),
+                    "save_dataset_images": False},
+            "eval": {"validation_steps": 1},
+            "optim": {"max_train_steps": 2, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 1}})
+        coach = Coach(cfg, arch=builder.tiny_arch())
+
+        class ExplodingValidator:
+            calls = 0
+
+            def infer(self, coach, trainable, step):
+                ExplodingValidator.calls += 1
+                raise RuntimeError("matplotlib hiccup")
+
+        coach.validator = ExplodingValidator()
+        msgs = []
+        orig = coach.logger.log_message
+        coach.logger.log_message = lambda m: (msgs.append(m), orig(m))
+        result = coach.train()
+        assert result["steps"] == 2
+        assert ExplodingValidator.calls == 2
+        assert any("validation at step" in m and "failed" in m
+                   for m in msgs)

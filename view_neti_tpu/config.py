@@ -180,6 +180,12 @@ class EvalConfig:
     num_denoising_steps: int = 30
     dtu_upsample_key: int = 1
     eval_placeholder_object_tokens: Optional[List[str]] = None
+    # T2I view-generalization sweep: render free-text objects
+    # view-conditioned across all DTU cameras during mode-3 validation.
+    # The reference gates this with a hardcoded
+    # DO_T2I_GENERALIZATION = False (reference training/validate.py:268);
+    # here it is a config flag with the same default.
+    do_t2i_generalization: bool = False
 
     def __post_init__(self):
         if self.validation_seeds is None:
@@ -210,9 +216,13 @@ class OptimConfig:
     allow_tf32: bool = False
     # TPU optimization: run the accumulation window as ONE fused batch of
     # train_batch_size * gradient_accumulation_steps. Mathematically
-    # identical for modes != 3 (the mean of per-microbatch mean-gradients
-    # equals the fused-batch mean); mode 3 keeps true accumulation because
-    # it resamples the scene per microbatch. ~17% higher imgs/sec on v5e.
+    # identical to sequential microbatches (the mean of per-microbatch
+    # mean-gradients equals the fused-batch mean). Mode 3 preserves the
+    # reference's per-microbatch scene resampling INSIDE the fused batch:
+    # the loader assembles k groups of train_batch_size samples, each
+    # group a freshly sampled scene, and TrainBatch.object_idx carries the
+    # (k,) per-group bank indices (r3; ~17% higher imgs/sec on v5e,
+    # ~10% for mode 3). False = optax.MultiSteps true accumulation.
     fuse_accumulation: bool = True
     # TPU optimization: lax.scan this many optimizer steps inside one jit
     # dispatch (0 = auto). On a tunneled TPU each dispatch/fetch pays a
@@ -283,6 +293,35 @@ class RunConfig:
                 self.model.pretrained_view_mapper = Path(
                     lookup_pretrained_models[str(
                         self.model.pretrained_view_mapper_key)])
+
+
+@dataclass
+class InferenceConfig:
+    """Offline-inference configuration (reference scripts/inference.py:36-57
+    InferenceConfig) — drivable from a YAML file + dot-overrides exactly
+    like training (input_configs/inference.yaml)."""
+    # which checkpoint iteration to load
+    iteration: Optional[int] = None
+    # experiment directory holding the saved mappers/embeddings
+    input_dir: Optional[Path] = None
+    # where to save inference results (default: <input_dir>/inference)
+    inference_dir: Optional[Path] = None
+    seeds: List[int] = field(default_factory=lambda: [42])
+    # mode-3 only: which scene tokens to evaluate (default: from the
+    # pretrained model's config)
+    eval_placeholder_object_tokens: List[str] = field(default_factory=list)
+    # fp16/bf16 -> bf16 on TPU; fp32 keeps float32
+    torch_dtype: str = "fp16"
+    num_denoising_steps: int = 30
+    debug: int = 0
+    # TPU additions (no reference counterpart)
+    calibration_dir: Optional[str] = None
+    masks_root: Optional[str] = None
+    lpips_weights: Optional[str] = None
+
+    def __post_init__(self):
+        if self.inference_dir is None and self.input_dir is not None:
+            self.inference_dir = Path(self.input_dir) / "inference"
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +421,7 @@ def _set_dotted(d: Dict[str, Any], dotted: str, value: Any):
     cur[keys[-1]] = value
 
 
-def parse_cli(argv: Optional[List[str]] = None) -> RunConfig:
+def parse_cli(argv: Optional[List[str]] = None, cls=RunConfig):
     """pyrallis-style CLI: --config_path file.yaml --section.key value."""
     if argv is None:
         argv = sys.argv[1:]
@@ -411,7 +450,7 @@ def parse_cli(argv: Optional[List[str]] = None) -> RunConfig:
         with open(config_path) as f:
             base = yaml.safe_load(f) or {}
     _deep_update(base, data)
-    return decode(RunConfig, base)
+    return decode(cls, base)
 
 
 def _deep_update(base: Dict[str, Any], extra: Dict[str, Any]):

@@ -69,6 +69,13 @@ VALIDATION_PROMPTS = [
     "A painting of {} in the style of Monet",
 ]
 
+# free-text objects for the mode-3 T2I view-generalization sweep
+# (reference training/validate.py:270-273)
+T2I_GENERALIZATION_PROMPTS = [
+    "a koala", "a brown teddy bear", "a small red car",
+    "a small townhouse", "3 cans of soup", "a black dog",
+]
+
 IMAGENET_TEMPLATES_SMALL = [
     "a photo of a {}",
     "a rendering of a {}",

@@ -263,13 +263,26 @@ class TextualInversionDataset:
     # Coach when device augmentation engages.
     emit_base_pixels: bool = False
 
+    def _preprocess_branch(self) -> str:
+        """Which deterministic-preprocess branch _base_image takes —
+        single source of truth for uniform_base_shape (the reference keys
+        this on data_root substrings, reference dataset.py:692-737; the
+        precedence here matches _base_image exactly, so e.g. a path
+        containing both 'dtu' and 'llff' resolves identically in both)."""
+        root = str(self.data_root)
+        if "dtu" in root:
+            return "dtu"
+        if "llff" in root:
+            return "llff"
+        return "square"
+
     @property
     def uniform_base_shape(self) -> bool:
         """True when every base image shares one static shape (required to
         batch uint8 bases for the on-device augmentation path). Only the
         llff passthrough (reference dataset.py:712-713) skips the
         deterministic resize."""
-        return "llff" not in str(self.data_root)
+        return self._preprocess_branch() != "llff"
 
     # ---- example construction (reference dataset.py:605-739) --------------
     def __getitem__(self, i: int) -> Dict[str, Any]:
@@ -397,7 +410,8 @@ class TextualInversionDataset:
                       (w - crop) // 2:(w + crop) // 2]
         image = Image.fromarray(img)
 
-        if "dtu" in str(self.data_root):
+        branch = self._preprocess_branch()
+        if branch == "dtu":
             if self.dtu_preprocess_key == -1:
                 # test-only miniature preprocessing (keeps the DTU 4:3
                 # aspect); not part of the reference surface
@@ -412,7 +426,7 @@ class TextualInversionDataset:
                 image = _resize(image, (768, 576), self.interpolation)
             else:
                 raise NotImplementedError(self.dtu_preprocess_key)
-        elif "llff" in str(self.data_root):
+        elif branch == "llff":
             pass
         else:
             image = _resize(image, (self.size, self.size),
@@ -443,11 +457,20 @@ class DataLoader:
 
     def __init__(self, dataset: TextualInversionDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 group_size: Optional[int] = None):
+        """group_size (mode-3 fused accumulation): assemble each batch as
+        batch_size/group_size contiguous GROUPS, resampling the scene
+        before each group — the reference's per-microbatch scene resample
+        (reference dataset.py:584-600, coach.py:155-156) carried inside
+        one fused device batch. The collated object_idx is then (G,)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.group_size = group_size
+        if group_size:
+            assert batch_size % group_size == 0, (batch_size, group_size)
         self.rng = np.random.default_rng(seed)
 
     def __iter__(self):
@@ -457,11 +480,20 @@ class DataLoader:
         for start in range(0, n - (self.batch_size - 1 if self.drop_last
                                    else 0), self.batch_size):
             idxs = order[start:start + self.batch_size]
-            examples = [self.dataset[int(i)] for i in idxs]
-            yield self._collate(examples)
+            if self.group_size:
+                examples = []
+                for g0 in range(0, len(idxs), self.group_size):
+                    self.dataset.reset_sampled_object()
+                    examples.extend(
+                        self.dataset[int(i)]
+                        for i in idxs[g0:g0 + self.group_size])
+            else:
+                examples = [self.dataset[int(i)] for i in idxs]
+            yield self._collate(examples, self.group_size)
 
     @staticmethod
-    def _collate(examples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    def _collate(examples: List[Dict[str, Any]],
+                 group_size: Optional[int] = None) -> Dict[str, np.ndarray]:
         batch = {}
         keys = ("input_ids", "input_ids_placeholder_object",
                 "input_ids_placeholder_view")
@@ -469,7 +501,12 @@ class DataLoader:
             keys = ("pixel_values",) + keys
         for k in keys:
             batch[k] = np.stack([e[k] for e in examples])
-        batch["object_idx"] = np.asarray(examples[0]["object_idx"])
+        if group_size:
+            batch["object_idx"] = np.asarray(
+                [examples[g]["object_idx"]
+                 for g in range(0, len(examples), group_size)], np.int32)
+        else:
+            batch["object_idx"] = np.asarray(examples[0]["object_idx"])
         batch["image_idxs"] = np.asarray(
             [e["image_idx"] for e in examples], np.int32)
         batch["texts"] = [e["text"] for e in examples]

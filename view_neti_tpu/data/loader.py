@@ -25,9 +25,9 @@ class PrefetchLoader:
 
     def __init__(self, dataset: TextualInversionDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, depth: int = 2,
-                 reset_each_batch: bool = False):
+                 reset_each_batch: bool = False, group_size=None):
         self.inner = DataLoader(dataset, batch_size, shuffle=shuffle,
-                                seed=seed)
+                                seed=seed, group_size=group_size)
         self.dataset = dataset
         self.depth = depth
         self.reset_each_batch = reset_each_batch

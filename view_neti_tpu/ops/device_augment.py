@@ -231,6 +231,44 @@ def _shift_rows(x: jnp.ndarray, d: jnp.ndarray, pad: int) -> jnp.ndarray:
     return (1.0 - f) * sl[:, :N] + f * sl[:, 1:]
 
 
+def _sample_crop_box(ka, kar, ki, kj, H: int, W: int, spec: AugmentSpec):
+    """RandomResizedCrop box with torchvision semantics
+    (torchvision RandomResizedCrop.get_params): K=10 (area, log-aspect)
+    draws, FIRST in-bounds draw wins; if all overflow the image, fall
+    back to the largest crop with the aspect CLAMPED INTO crop_ratio
+    (torchvision's center-crop-style fallback). Vectorized draws + argmax
+    replace the host's rejection loop — the emitted box aspect never
+    leaves (crop_ratio[0], crop_ratio[1]) (ADVICE r2: the old independent
+    bw/bh clamping stretched ~10% of preset-7 draws anisotropically).
+
+    Returns (i, j, bh, bw): top-left corner + box size, all traced."""
+    K = 10
+    areas = H * W * jax.random.uniform(
+        ka, (K,), minval=spec.crop_scale[0], maxval=spec.crop_scale[1])
+    log_r = jax.random.uniform(
+        kar, (K,), minval=jnp.log(spec.crop_ratio[0]),
+        maxval=jnp.log(spec.crop_ratio[1]))
+    aspects = jnp.exp(log_r)
+    bws = jnp.sqrt(areas * aspects)
+    bhs = jnp.sqrt(areas / aspects)
+    valid = (bws <= W) & (bhs <= H) & (bws >= 8.0) & (bhs >= 8.0)
+    pick = jnp.argmax(valid)                  # first valid draw (or 0)
+    r0, r1 = spec.crop_ratio
+    in_ratio = W / H
+    if in_ratio < r0:
+        fb_w, fb_h = float(W), W / r0
+    elif in_ratio > r1:
+        fb_w, fb_h = H * r1, float(H)
+    else:
+        fb_w, fb_h = float(W), float(H)
+    any_valid = jnp.any(valid)
+    bw = jnp.where(any_valid, bws[pick], fb_w)
+    bh = jnp.where(any_valid, bhs[pick], fb_h)
+    i = jax.random.uniform(ki, ()) * (H - bh)
+    j = jax.random.uniform(kj, ()) * (W - bw)
+    return i, j, bh, bw
+
+
 def _affine_warp(x: jnp.ndarray, key: jax.Array,
                  spec: AugmentSpec) -> jnp.ndarray:
     H, W = x.shape[0], x.shape[1]
@@ -253,16 +291,7 @@ def _affine_warp(x: jnp.ndarray, key: jax.Array,
 
     # crop box (i, j, bh, bw) in rotated-image coordinates
     if spec.crop_p > 0:
-        area = H * W * jax.random.uniform(
-            ka, (), minval=spec.crop_scale[0], maxval=spec.crop_scale[1])
-        log_r = jax.random.uniform(
-            kar, (), minval=jnp.log(spec.crop_ratio[0]),
-            maxval=jnp.log(spec.crop_ratio[1]))
-        aspect = jnp.exp(log_r)
-        bw = jnp.clip(jnp.sqrt(area * aspect), 8.0, W)
-        bh = jnp.clip(jnp.sqrt(area / aspect), 8.0, H)
-        i = jax.random.uniform(ki, ()) * (H - bh)
-        j = jax.random.uniform(kj, ()) * (W - bw)
+        i, j, bh, bw = _sample_crop_box(ka, kar, ki, kj, H, W, spec)
         if spec.crop_p < 1.0:
             crop_on = jax.random.uniform(
                 jax.random.fold_in(ka, 1)) < spec.crop_p

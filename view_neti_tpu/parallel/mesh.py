@@ -53,23 +53,36 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def _is_object_idx(prototype: Any, leaf: Any) -> bool:
+    """object_idx never shards over dp: it is scalar, or (G,) group scene
+    indices in the mode-3 fused-accumulation layout — per-GROUP, not
+    per-sample, so its leading axis is not the batch axis."""
+    from view_neti_tpu.training.train_step import TrainBatch
+    return isinstance(prototype, TrainBatch) and leaf is prototype.object_idx
+
+
 def batch_shardings_for(prototype: Any, mesh: Mesh) -> Any:
-    """Per-leaf batch shardings: arrays shard their leading axis over dp,
-    scalars (e.g. TrainBatch.object_idx) replicate."""
+    """Per-leaf batch shardings: arrays shard their leading axis over dp;
+    TrainBatch.object_idx (scalar or (G,) group indices) replicates."""
     dp = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
-        lambda x: dp if getattr(x, "ndim", 0) >= 1 else rep, prototype)
+        lambda x: rep if (_is_object_idx(prototype, x)
+                          or getattr(x, "ndim", 0) < 1) else dp,
+        prototype)
 
 
 def window_batch_shardings_for(prototype: Any, mesh: Mesh) -> Any:
     """Shardings for a W-step dispatch window of stacked batches
     (train_step.make_multi_step): leaf shape (W, B, ...) shards the BATCH
-    axis over dp; per-step scalars (W,) replicate."""
+    axis over dp; per-step scalars (W,) and (W, G) group indices
+    replicate."""
     dp = NamedSharding(mesh, P(None, "dp"))
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
-        lambda x: dp if getattr(x, "ndim", 0) >= 2 else rep, prototype)
+        lambda x: rep if (_is_object_idx(prototype, x)
+                          or getattr(x, "ndim", 0) < 2) else dp,
+        prototype)
 
 
 # --- optional tensor-parallel placement of frozen weights ------------------

@@ -67,6 +67,11 @@ class Coach:
         self.tokenizer.model_max_length = \
             self.arch.text.max_position_embeddings
         self.train_dataset = self._init_dataset(calibration_dir)
+        from view_neti_tpu.data import native as native_mod
+        self.logger.log_message(
+            "host image kernels: "
+            + ("native C++ (libimageproc)" if native_mod.available()
+               else "PIL/numpy fallback"))
         self.placeholder_view_tokens = \
             self.train_dataset.placeholder_view_tokens
         self.placeholder_object_tokens = \
@@ -104,10 +109,18 @@ class Coach:
                              cfg.optim.adam_weight_decay,
                              stacked_keys=stacked, frozen_keys=frozen_keys)
         # accumulation fusing (see OptimConfig.fuse_accumulation): one fused
-        # batch per optimizer step instead of k sequential microbatches
+        # batch per optimizer step instead of k sequential microbatches.
+        # Mode 3 fuses too (r3): the fused batch carries k groups of
+        # train_batch_size samples with PER-GROUP scene indices
+        # (TrainBatch.object_idx (G,)), so the reference's per-microbatch
+        # scene resampling survives inside one device batch — the mean
+        # gradient over the 3x3 fused batch equals the mean of the 3
+        # per-scene microbatch means.
         self.fused_accum = (cfg.optim.fuse_accumulation
-                            and cfg.learnable_mode != 3
                             and cfg.optim.gradient_accumulation_steps > 1)
+        self.mode3_group_size = (
+            cfg.optim.train_batch_size
+            if self.fused_accum and cfg.learnable_mode == 3 else None)
         if self.fused_accum:
             self.micro_batch_size = (cfg.optim.train_batch_size
                                      * cfg.optim.gradient_accumulation_steps)
@@ -355,11 +368,14 @@ class Coach:
             loader = PrefetchLoader(
                 self.train_dataset, batch_size=self.micro_batch_size,
                 shuffle=True, seed=cfg.seed,
-                reset_each_batch=(cfg.learnable_mode == 3))
+                reset_each_batch=(cfg.learnable_mode == 3
+                                  and not self.mode3_group_size),
+                group_size=self.mode3_group_size)
         else:
             loader = DataLoader(self.train_dataset,
                                 batch_size=self.micro_batch_size,
-                                shuffle=True, seed=cfg.seed)
+                                shuffle=True, seed=cfg.seed,
+                                group_size=self.mode3_group_size)
         rng = jax.random.PRNGKey(cfg.optim.seed or cfg.seed)
         trainable, opt_state = self.trainable, self.opt_state
         k = self.accum_k
@@ -382,9 +398,12 @@ class Coach:
         def batch_stream():
             while True:
                 for b in loader:
-                    if cfg.learnable_mode == 3 and not use_prefetch:
+                    if (cfg.learnable_mode == 3 and not use_prefetch
+                            and not self.mode3_group_size):
                         # with prefetch the producer thread resamples the
-                        # scene per batch (PrefetchLoader.reset_each_batch)
+                        # scene per batch (PrefetchLoader.reset_each_batch);
+                        # with the fused mode-3 layout the DataLoader
+                        # resamples per GROUP inside each batch
                         self.train_dataset.reset_sampled_object()
                     yield b
 
@@ -443,13 +462,25 @@ class Coach:
                                f"{self.global_step}.msgpack",
                                opt_state=opt_state)
                 if self._should_eval() and self.validator is not None:
-                    self.validator.infer(coach=self,
-                                         trainable=trainable,
-                                         step=self.global_step)
+                    # skip-and-continue on validation failure (reference
+                    # validate.py:426-437 / inference_dtu.py:129-138 retry
+                    # ConnectionErrors; here ANY validation hiccup — a
+                    # matplotlib/IO error at step 40k of a 50k-step run —
+                    # must not kill training)
+                    try:
+                        self.validator.infer(coach=self,
+                                             trainable=trainable,
+                                             step=self.global_step)
+                    except Exception as e:
+                        self.logger.log_message(
+                            f"WARNING: validation at step "
+                            f"{self.global_step} failed ({e!r}); "
+                            "continuing training")
         if self._pending_metrics is not None:
             last_loss = self._log_step_metrics(self._pending_metrics, timer)
             self._pending_metrics = None
         trace_ctx.__exit__(None, None, None)
+        self.last_step_timer = timer   # bench/telemetry introspection
         if use_prefetch:
             loader.close()
         self.trainable, self.opt_state = trainable, opt_state
@@ -521,6 +552,16 @@ class Coach:
         """Jitted W-step scan (train_step.make_multi_step), cached per
         window size."""
         if w not in self._multi_steps:
+            if self._multi_steps:
+                # ADVICE r2: every distinct window size compiles its own
+                # scan program (~2 min on the 1-core host) — make
+                # boundary-shrunk windows visible and actionable
+                self.logger.log_message(
+                    f"compiling an additional {w}-microbatch dispatch "
+                    f"window (shrunk at a save/validation/end boundary); "
+                    "align save_steps/validation_steps/max_train_steps "
+                    "to multiples of optim.steps_per_dispatch to avoid "
+                    "extra compiles")
             from view_neti_tpu.training.train_step import make_multi_step
             multi = make_multi_step(self._step_raw)
             if self.mesh is None:
@@ -641,7 +682,15 @@ class Coach:
         constants, and the global step from an orbax train-state directory
         (checkpoint_orbax.py). "latest" picks the newest state under
         <exp_dir>/orbax. TPU addition — the reference cannot resume
-        (reference training/coach.py:500-506 reloads weights only)."""
+        (reference training/coach.py:500-506 reloads weights only).
+
+        RNG caveat: host RNG state (the step key pool, dataset
+        numpy/python RNGs) is NOT checkpointed; a resumed run replays the
+        seed-derived data/noise sequence from the restored step's offset
+        within a fresh key pool, so the post-resume stochastic stream
+        differs from the uninterrupted run's. Parameters/optimizer state
+        are exact; only which random draws follow changes — the same
+        situation as the reference's reload-and-rerun workflow."""
         import dataclasses as dc
         src = self.cfg.log.resume_from
         if not src:
@@ -662,7 +711,16 @@ class Coach:
                     "view_constants": text.view_constants,
                     "step": jnp.asarray(0)}
         template = {k: v for k, v in template.items() if v is not None}
-        restored = checkpoint_orbax.restore_train_state(path, template)
+        try:
+            restored = checkpoint_orbax.restore_train_state(path, template)
+        except (KeyError, ValueError) as e:
+            if "step" in str(e):
+                raise RuntimeError(
+                    f"train state at {path} has no 'step' entry — it "
+                    "predates resume support (saved by an r1 build); "
+                    "re-save a checkpoint with this version or restore "
+                    "the mapper msgpack manually") from e
+            raise
         self.trainable = restored["trainable"]
         self.opt_state = restored["opt_state"]
         text_updates = {k: restored[k]

@@ -208,6 +208,8 @@ def get_result_metrics_and_grids(cam_idxs, cam_idxs_train,
         figures.append(f)
 
     def agg(key, mask):
+        if not mask.any():      # debug-truncated sweeps may lack a split
+            return float("nan")
         vals = np.concatenate([v[mask] for v in per_seed[key]])
         return float(vals.mean())
 
@@ -248,20 +250,29 @@ def dtu_generate_camidxs_to_preds(
         num_denoising_steps: int = 30, seeds: Sequence[int] = (0, 1),
         eval_placeholder_object_token: Optional[str] = None,
         guidance_scale: float = 7.5,
-        calibration_dir: Optional[str] = None) -> Dict[int, np.ndarray]:
+        calibration_dir: Optional[str] = None,
+        on_missing_ckpt: str = "warn") -> Dict[int, np.ndarray]:
     """Generate NVS predictions for every cam idx.
 
     Reload-from-checkpoint semantics (reference inference_dtu.py:88-199):
     mapper params come from the saved step-N checkpoint files, the view
     vocabulary is extended to all DTU cameras without re-fitting bounds,
     and prompts are "{view_token}. A photo of a {object}".
+
+    The reference REQUIRES the reload so that in-training validation
+    behaves exactly like offline inference (inference_dtu.py:118-123).
+    When the step-N mapper file is absent this falls back to the LIVE
+    trainable params — loudly: on_missing_ckpt="warn" logs a warning,
+    "raise" raises FileNotFoundError (offline CLI default).
     """
+    assert on_missing_ckpt in ("warn", "raise"), on_missing_ckpt
     cfg = coach.cfg
     exp_dir = Path(cfg.log.exp_dir)
     text = coach.built.frozen.text
 
     # --- reload mapper params from the saved checkpoints ----------------
     loaded = {k: v for k, v in trainable.items()}
+    missing_ckpts = []
     if cfg.learnable_mode != 0:
         p = exp_dir / f"mapper-steps-{step}_view.msgpack"
         if p.exists():
@@ -269,6 +280,8 @@ def dtu_generate_camidxs_to_preds(
             _, payload = CheckpointHandler.load_mapper(p)
             loaded["view"] = jax.tree_util.tree_map(
                 jnp.asarray, payload["mappers"]["view"]["params"])
+        else:
+            missing_ckpts.append(p.name)
     if cfg.learnable_mode != 1:
         p = exp_dir / f"mapper-steps-{step}_object.msgpack"
         if p.exists():
@@ -279,6 +292,17 @@ def dtu_generate_camidxs_to_preds(
             loaded["object"] = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                 *stacked)
+        elif "object" in loaded and loaded["object"] is not None:
+            missing_ckpts.append(p.name)
+    if missing_ckpts:
+        msg = (f"DTU eval at step {step}: mapper checkpoint(s) "
+               f"{missing_ckpts} not found under {exp_dir}; the reference "
+               "protocol requires reloading from disk so that validation "
+               "== offline inference (reference inference_dtu.py:118-123)")
+        if on_missing_ckpt == "raise":
+            raise FileNotFoundError(msg)
+        coach.logger.log_message(
+            "WARNING: " + msg + " — falling back to LIVE trainable params")
 
     # --- extend view vocab to all DTU cameras ---------------------------
     kwargs = {}

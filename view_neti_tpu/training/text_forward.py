@@ -73,7 +73,7 @@ def neti_text_conditioning(
         ph_obj_ids: jnp.ndarray,         # (B,) int32 (-1 = absent)
         ph_view_ids: jnp.ndarray,        # (B,)
         timesteps: jnp.ndarray,          # (B,) float or int
-        object_idx: jnp.ndarray,         # scalar int32
+        object_idx: jnp.ndarray,         # scalar int32, or (G,) int32
         rng: Optional[jax.Array] = None,
         train: bool = False,
         truncation_idx: Optional[int] = None,
@@ -83,6 +83,14 @@ def neti_text_conditioning(
 
     original_ti short-circuit: a single layer-0 pass broadcast over layers,
     no bypass (reference coach.py:307-309).
+
+    object_idx selects the mode-3 object-mapper bank slice. Scalar: one
+    scene for the whole batch (the reference's microbatch semantics).
+    Shape (G,): the batch is G contiguous groups of B/G samples, group g
+    conditioned on bank slice object_idx[g] — the fused-accumulation
+    layout where one device batch carries a whole k-microbatch window of
+    per-group scene resamples (G is static; the object mapper runs G
+    small passes, the expensive CLIP pass stays fully fused).
     """
     B, L = input_ids.shape
     K = 1 if models.original_ti else num_layers
@@ -100,18 +108,45 @@ def neti_text_conditioning(
     alpha_obj, unconstrained_obj = 0.2, False
     obj_params = trainable.get("object") if trainable else None
     if models.obj_mapper is not None and obj_params is not None:
-        p = jax.tree_util.tree_map(lambda a: a[object_idx], obj_params)
-        norm_scale = None
-        if models.obj_norm_scales is not None:
-            norm_scale = models.obj_norm_scales[object_idx]
-        variables = {"params": p}
-        if models.obj_constants is not None:
-            variables["constants"] = models.obj_constants
-        out = models.obj_mapper.apply(
-            variables, t_k, l_k, train=train, truncation_idx=truncation_idx,
-            norm_scale=norm_scale,
-            rngs={"dropout": rng_o} if (train and rng_o is not None) else {})
-        word_obj, bypass_obj = out.word_embedding, out.bypass_output
+        def run_obj(idx, t_in, l_in, rng_in):
+            p = jax.tree_util.tree_map(lambda a: a[idx], obj_params)
+            norm_scale = None
+            if models.obj_norm_scales is not None:
+                norm_scale = models.obj_norm_scales[idx]
+            variables = {"params": p}
+            if models.obj_constants is not None:
+                variables["constants"] = models.obj_constants
+            return models.obj_mapper.apply(
+                variables, t_in, l_in, train=train,
+                truncation_idx=truncation_idx, norm_scale=norm_scale,
+                rngs={"dropout": rng_in}
+                if (train and rng_in is not None) else {})
+
+        if jnp.ndim(object_idx) == 0:
+            out = run_obj(object_idx, t_k, l_k, rng_o)
+            word_obj, bypass_obj = out.word_embedding, out.bypass_output
+        else:
+            G = object_idx.shape[0]
+            bs = B // G
+            assert B % G == 0, (B, G)
+
+            def grp(x, g):
+                return x.reshape(K, G, bs)[:, g].reshape(-1)
+
+            words, bypasses = [], []
+            for g in range(G):
+                out = run_obj(
+                    object_idx[g], grp(t_k, g), grp(l_k, g),
+                    jax.random.fold_in(rng_o, g)
+                    if rng_o is not None else None)
+                words.append(out.word_embedding.reshape(K, bs, -1))
+                bypasses.append(
+                    out.bypass_output.reshape(K, bs, -1)
+                    if out.bypass_output is not None else None)
+            word_obj = jnp.stack(words, axis=1).reshape(K * B, -1)
+            bypass_obj = (
+                jnp.stack(bypasses, axis=1).reshape(K * B, -1)
+                if bypasses[0] is not None else None)
         alpha_obj = out.output_bypass_alpha
         unconstrained_obj = out.bypass_unconstrained
 

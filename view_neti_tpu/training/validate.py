@@ -157,7 +157,8 @@ class ValidationHandler:
     # ------------------------------------------------------------------
     def infer_dtu(self, coach, trainable, step: int, num_steps: int,
                   eval_placeholder_object_token: Optional[str] = None,
-                  return_instead_of_save: bool = False) -> Dict:
+                  return_instead_of_save: bool = False,
+                  on_missing_ckpt: str = "warn") -> Dict:
         """Full DTU sweep + metrics (reference validate.py:65-186)."""
         cfg = self.cfg
         cam_idxs, cam_idxs_train, _ = inference_dtu.get_cam_idxs(
@@ -169,7 +170,8 @@ class ValidationHandler:
             num_denoising_steps=num_steps,
             seeds=cfg.eval.validation_seeds,
             eval_placeholder_object_token=eval_placeholder_object_token,
-            calibration_dir=self.calibration_dir)
+            calibration_dir=self.calibration_dir,
+            on_missing_ckpt=on_missing_ckpt)
         # mode 3: GT comes from the evaluated scene's subdirectory
         data_dir = Path(str(cfg.data.train_data_dir))
         if (eval_placeholder_object_token
@@ -199,6 +201,23 @@ class ValidationHandler:
         out_dir = Path(cfg.log.exp_dir)
         tag = (f"-{eval_placeholder_object_token}"
                if eval_placeholder_object_token else "")
+        # persist the raw prediction bundle so in-training sweeps can be
+        # re-scored offline (reference validate.py:115-123 saves
+        # validation-iter_*.pt every round; scripts/summarize_dtu.py here
+        # consumes the msgpack equivalent)
+        from flax import serialization
+        bundle = {
+            "imgs_pred": np.stack(results["imgs_pred"]),  # (S, bs, h, w, 3)
+            "imgs_gt": results["imgs_gt"],
+            "masks": results["masks"],
+            "metrics": {k: v for k, v in results.items()
+                        if k.endswith("_mean")},
+            "seeds": np.asarray(cfg.eval.validation_seeds),
+        }
+        bundle_path = out_dir / (
+            f"validation-iter_{step}-denoisesteps_{num_steps}"
+            f"_numseeds_{len(cfg.eval.validation_seeds)}{tag}.msgpack")
+        bundle_path.write_bytes(serialization.msgpack_serialize(bundle))
         for i, fig in enumerate(results["figures"]):
             fig.savefig(out_dir / f"val-dtu-step{step}{tag}-seed{i}.png",
                         dpi=150)
@@ -218,13 +237,17 @@ class ValidationHandler:
 
     # ------------------------------------------------------------------
     def infer_mode3(self, coach, trainable, step: int,
-                    num_steps: int, do_t2i_generalization: bool = True,
+                    num_steps: int,
+                    do_t2i_generalization: Optional[bool] = None,
                     do_disentangled: bool = True) -> Dict:
         """Per-object DTU sweeps for multi-scene pretraining (reference
-        validate.py:188-314), plus the optional T2I-generalization prompt
-        bank (validate.py:268-314) and object-token-only renders
+        validate.py:188-314), plus the optional T2I view-generalization
+        sweep (validate.py:268-314; gated off by default exactly like the
+        reference's DO_T2I_GENERALIZATION) and object-token-only renders
         (infer_disentangled_objects_dtu, validate.py:317-385)."""
         cfg = self.cfg
+        if do_t2i_generalization is None:
+            do_t2i_generalization = cfg.eval.do_t2i_generalization
         tokens = (cfg.eval.eval_placeholder_object_tokens
                   or coach.placeholder_object_tokens[:1])
         all_results = {}
@@ -236,9 +259,67 @@ class ValidationHandler:
             self.infer_disentangled_objects_dtu(coach, trainable, step,
                                                 num_steps, tokens)
         if do_t2i_generalization:
-            self._render_prompt_bank(coach, trainable, step, num_steps,
-                                     tokens, tag="t2i")
+            self.infer_t2i_generalization(coach, trainable, step, num_steps)
         return all_results
+
+    def infer_t2i_generalization(self, coach, trainable, step: int,
+                                 num_steps: int,
+                                 prompts: Optional[Sequence[str]] = None
+                                 ) -> None:
+        """T2I view control across the DTU cameras (reference
+        validate.py:268-314): render free-text objects ("a koala", ...)
+        VIEW-CONDITIONED over every eval cam_idx with seed 0, and stack a
+        GT strip from the first training subset under the predictions."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from view_neti_tpu.constants import T2I_GENERALIZATION_PROMPTS
+
+        cfg = self.cfg
+        prompts = list(prompts or T2I_GENERALIZATION_PROMPTS)
+        cam_idxs, _, _ = inference_dtu.get_cam_idxs(cfg.data.dtu_subset)
+        if cfg.debug:
+            cam_idxs = cam_idxs[:2]
+            prompts = prompts[:1]
+        # GT reference strip from the first train subset (reference
+        # validate.py:289-298)
+        data_dir = Path(str(cfg.data.train_data_dir))
+        if cfg.data.train_data_subsets:
+            data_dir = data_dir / cfg.data.train_data_subsets[0]
+        gts = inference_dtu.dtu_get_gt_images(
+            cam_idxs, data_dir, cfg.data.dtu_lighting,
+            cfg.data.dtu_preprocess_key)
+        gt_arr = np.stack([np.asarray(gts[i], np.float32) / 255.0
+                           for i in cam_idxs])
+        for i, prompt in enumerate(prompts):
+            preds = inference_dtu.dtu_generate_camidxs_to_preds(
+                coach, trainable, cam_idxs, step,
+                num_denoising_steps=num_steps, seeds=[0],
+                eval_placeholder_object_token=prompt,
+                calibration_dir=self.calibration_dir)
+            pred_arr = np.concatenate(
+                [preds[idx].astype(np.float32) / 255.0
+                 for idx in cam_idxs])                      # (n, H, W, 3)
+            # predictions row over GT row, half resolution (reference
+            # validate.py:299-302 make_grid(...)[::2, ::2])
+            nrow = len(cam_idxs)
+            from view_neti_tpu.utils.vis import make_grid_np
+            grid = np.concatenate([make_grid_np(pred_arr, nrow),
+                                   make_grid_np(gt_arr, nrow)],
+                                  axis=0)[::2, ::2]
+            f, axs = plt.subplots(figsize=(nrow, 3))
+            axs.imshow(np.clip(grid, 0, 1))
+            axs.set_axis_off()
+            axs.set(title=prompt)
+            out = Path(cfg.log.exp_dir) / (
+                f"validation-iter_{step}-denoisesteps_"
+                f"{cfg.eval.num_denoising_steps}_upsample_"
+                f"{cfg.eval.dtu_upsample_key}_imgs_t2i_{i}.png")
+            f.savefig(out, dpi=150)
+            plt.close(f)
+            coach.logger.log_message(f"saved t2i-generalization sheet {out}")
+            coach.logger.log_images(f"val_t2i_{i}",
+                                    [np.clip(grid, 0, 1)], step)
 
     def infer_disentangled_objects_dtu(self, coach, trainable, step: int,
                                        num_steps: int,

@@ -39,6 +39,11 @@ class StepTimer:
         self.skip = skip
         self._n = 0
         self._rejects = 0
+        # total outlier ticks excluded from the EMA over the timer's life
+        # (ADVICE r2: masked stalls must be visible — bench.py surfaces
+        # this count so a clean run is distinguishable from one whose
+        # steady-state rate hides transient hiccups)
+        self.rejected_total = 0
         self._last = None
         self.ema_s: Optional[float] = None
 
@@ -55,6 +60,7 @@ class StepTimer:
                     # slow ticks is a real regime change though; after 3
                     # consecutive rejects the EMA adapts.
                     self._rejects += 1
+                    self.rejected_total += 1
                     self._last = now
                     return self.ema_s
                 self._rejects = 0
