@@ -175,15 +175,18 @@ def get_result_metrics_and_grids(cam_idxs, cam_idxs_train,
             make_grid_np(residual, nrow)], axis=0)
         grids.append(grid)
 
+        def _m(arr):   # debug-truncated sweeps may lack a split
+            return float(arr.mean()) if arr.size else float("nan")
+
         title = title_prefix + (
-            f" PSNR: train {psnr_b[is_train].mean():.3f}   "
-            f"test {psnr_b[~is_train].mean():.3f}  |  "
-            f"MSE: train {mse_b[is_train].mean():.3f}   "
-            f"test {mse_b[~is_train].mean():.3f}  |  "
-            f"SSIM: train {ssim_b[is_train].mean():.3f}   "
-            f"test {ssim_b[~is_train].mean():.3f}  |  "
-            f"LPIPS: train {lpips_b[is_train].mean():.3f}   "
-            f"test {lpips_b[~is_train].mean():.3f}")
+            f" PSNR: train {_m(psnr_b[is_train]):.3f}   "
+            f"test {_m(psnr_b[~is_train]):.3f}  |  "
+            f"MSE: train {_m(mse_b[is_train]):.3f}   "
+            f"test {_m(mse_b[~is_train]):.3f}  |  "
+            f"SSIM: train {_m(ssim_b[is_train]):.3f}   "
+            f"test {_m(ssim_b[~is_train]):.3f}  |  "
+            f"LPIPS: train {_m(lpips_b[is_train]):.3f}   "
+            f"test {_m(lpips_b[~is_train]):.3f}")
         xticklabels = []
         for i, (it, p, m, s, l) in enumerate(
                 zip(is_train, psnr_b, mse_b, ssim_b, lpips_b)):
