@@ -88,8 +88,16 @@ class TestMode0:
             data_root=TEAPOT, tokenizer=tok, camera_representation="spherical",
             learnable_mode=0, placeholder_object_token="<t>", size=32,
             repeats=2, flip_p=0.0, augmentation_key=7)
-        draws = [ds2[0]["pixel_values"] for _ in range(4)]
+        # per-example stochasticity is counter-derived (seed, epoch, index)
+        # — r3 resume-exactness — so variation comes from the EPOCH, not
+        # from repeated draws of the same position
+        draws = []
+        for epoch in range(4):
+            ds2.set_epoch(epoch)
+            draws.append(ds2[0]["pixel_values"])
         assert any(not np.array_equal(draws[0], d) for d in draws[1:])
+        ds2.set_epoch(0)
+        np.testing.assert_array_equal(draws[0], ds2[0]["pixel_values"])
 
     def test_skip_pixels_drops_decode(self):
         """With the latent cache active the Coach flips skip_pixels: items

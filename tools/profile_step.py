@@ -21,14 +21,41 @@ H, W = 384, 512
 
 
 def timeit(name, f, *args, n=15):
-    out = f(*args)
-    jax.block_until_ready(out)
+    """Chained timing: each iteration's input is perturbed by a tiny
+    function of the previous output, so the tunneled runtime cannot
+    memoize identical executions (see CLAUDE.md; tools/profile_vae.py).
+    f's FIRST array argument is perturbed; the final fetch of a scalar
+    forces remote completion."""
+    import jax.numpy as _jnp
+
+    args = list(args)
+    arr_i = next(i for i, a in enumerate(args)
+                 if hasattr(a, "dtype") and hasattr(a, "ndim")
+                 and a.ndim >= 1)
+
+    # NOTE: all other args ride through as jit ARGUMENTS (rest) — closing
+    # over frozen weight pytrees would inline them as HLO constants
+    @jax.jit
+    def step(x, eps, *rest):
+        if _jnp.issubdtype(x.dtype, _jnp.integer):
+            x_in = x + _jnp.round(eps * 1e25).astype(x.dtype)
+        else:
+            x_in = x + eps.astype(x.dtype)
+        rebuilt = list(rest[:arr_i]) + [x_in] + list(rest[arr_i:])
+        out = f(*rebuilt)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return out, _jnp.mean(leaf.astype(_jnp.float32)) * 1e-20
+
+    x0 = args[arr_i]
+    rest = args[:arr_i] + args[arr_i + 1:]
+    out, eps = step(x0, _jnp.float32(0), *rest)
+    float(eps)  # force completion of the warmup/compile
     t0 = time.time()
     for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
+        out, eps = step(x0, eps, *rest)
+    float(eps)  # scalar fetch = remote completion barrier
     dt = (time.time() - t0) / n * 1000
-    print(f"{name:24s} {dt:8.2f} ms")
+    print(f"{name:24s} {dt:8.2f} ms", flush=True)
     return dt
 
 

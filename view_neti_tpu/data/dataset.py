@@ -88,8 +88,16 @@ class TextualInversionDataset:
         self.dtu_preprocess_key = dtu_preprocess_key
         self.caption_strategy = caption_strategy
         self.calibration_dir = calibration_dir
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.pyrng = pyrandom.Random(seed)
+        # counter-based determinism (r3): every stochastic draw is keyed by
+        # (seed, epoch, example index) or an explicit batch counter instead
+        # of consuming a shared sequential RNG — so a resumed run replays
+        # the EXACT stochastic stream of the uninterrupted run (the TPU
+        # idiom: derive randomness from counters, never from shared state)
+        self._epoch = 0
+        self._scene_counter = 0
         self.interpolation = _PIL_INTERP[interpolation]
         self.templates = IMAGENET_TEMPLATES_SMALL
 
@@ -132,8 +140,7 @@ class TextualInversionDataset:
             for subdir, row in self.image_paths.items():
                 self._subset_offsets[subdir] = off
                 off += len(row)
-            self.current_object_idx = int(
-                self.rng.integers(len(self.train_data_subsets)))
+            self.reset_sampled_object()
 
         assert self.num_images > 0, \
             "no images found; check data.train_data_dir"
@@ -245,10 +252,23 @@ class TextualInversionDataset:
         return tokens
 
     # ---- mode-3 scene resampling (reference dataset.py:584-600) ------------
-    def reset_sampled_object(self) -> None:
+    def reset_sampled_object(self, counter: Optional[int] = None) -> None:
+        """Resample the current scene. counter: explicit draw index (the
+        DataLoader passes its global batch/group counter so the scene
+        sequence is a pure function of (seed, counter) — resume-exact);
+        None uses an internal monotonic counter (direct callers)."""
         assert self.learnable_mode == 3
+        if counter is None:
+            counter = self._scene_counter
+            self._scene_counter += 1
+        rng = np.random.default_rng((self.seed, 0x5CE4E, int(counter)))
         self.current_object_idx = int(
-            self.rng.integers(len(self.train_data_subsets)))
+            rng.integers(len(self.train_data_subsets)))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch index mixed into per-example RNG (torch
+        DistributedSampler.set_epoch idiom); called by the DataLoader."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return self._length
@@ -305,7 +325,12 @@ class TextualInversionDataset:
         global_idx = (idx if self.learnable_mode != 3
                       else self._subset_offsets[current] + idx)
         example: Dict[str, Any] = {"image_idx": global_idx}
-        template = self.pyrng.choice(self.templates)
+        # all of this example's stochastic choices (template, flip, host
+        # augmentations) derive from (seed, epoch, i): same distribution
+        # as a shared sequential RNG, but a pure function of the example's
+        # position in the schedule — resume replays the exact stream
+        ex_rng = np.random.default_rng((self.seed, self._epoch, int(i)))
+        template = self.templates[int(ex_rng.integers(len(self.templates)))]
 
         if self.learnable_mode == 0:
             example["text"] = template.format(placeholder_object_token)
@@ -371,7 +396,8 @@ class TextualInversionDataset:
             if self.emit_base_pixels:
                 example["pixel_values"] = self._load_base(image_path)
             else:
-                example["pixel_values"] = self._load_pixels(image_path)
+                example["pixel_values"] = self._load_pixels(image_path,
+                                                            ex_rng)
         return example
 
     def _load_base(self, image_path: Path) -> np.ndarray:
@@ -389,15 +415,19 @@ class TextualInversionDataset:
                 self._base_cache_bytes += base.nbytes
         return base
 
-    def _load_pixels(self, image_path: Path) -> np.ndarray:
+    def _load_pixels(self, image_path: Path,
+                     rng: Optional[np.random.Generator] = None
+                     ) -> np.ndarray:
         """Decoded-base-cache front end of _process_image: the decode +
         deterministic resize is computed once per file, augmentations
         every draw."""
         base = self._load_base(image_path)
-        return self._augment_normalize(Image.fromarray(base))
+        return self._augment_normalize(Image.fromarray(base), rng)
 
-    def _process_image(self, image: Image.Image) -> np.ndarray:
-        return self._augment_normalize(self._base_image(image))
+    def _process_image(self, image: Image.Image,
+                       rng: Optional[np.random.Generator] = None
+                       ) -> np.ndarray:
+        return self._augment_normalize(self._base_image(image), rng)
 
     def _base_image(self, image: Image.Image) -> Image.Image:
         """Deterministic preprocess: center crop + target resize
@@ -433,13 +463,18 @@ class TextualInversionDataset:
                             self.interpolation)
         return image
 
-    def _augment_normalize(self, image: Image.Image) -> np.ndarray:
-        """Stochastic suffix: flip + augmentation preset + [-1,1] scale."""
+    def _augment_normalize(self, image: Image.Image,
+                           rng: Optional[np.random.Generator] = None
+                           ) -> np.ndarray:
+        """Stochastic suffix: flip + augmentation preset + [-1,1] scale.
+        rng: per-example counter-derived generator (__getitem__); falls
+        back to the shared sequential RNG for direct callers."""
+        rng = rng if rng is not None else self.rng
         img_size = image.size
-        if self.learnable_mode == 0 and self.rng.uniform() < self.flip_p:
+        if self.learnable_mode == 0 and rng.uniform() < self.flip_p:
             image = ImageOps.mirror(image)
         if self.augmentations is not None:
-            image = apply_augmentations(image, self.augmentations, self.rng)
+            image = apply_augmentations(image, self.augmentations, rng)
             assert image.size == img_size
 
         arr = np.asarray(image, dtype=np.uint8)
@@ -458,12 +493,21 @@ class DataLoader:
     def __init__(self, dataset: TextualInversionDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True,
-                 group_size: Optional[int] = None):
+                 group_size: Optional[int] = None,
+                 start_batch: int = 0):
         """group_size (mode-3 fused accumulation): assemble each batch as
         batch_size/group_size contiguous GROUPS, resampling the scene
         before each group — the reference's per-microbatch scene resample
         (reference dataset.py:584-600, coach.py:155-156) carried inside
-        one fused device batch. The collated object_idx is then (G,)."""
+        one fused device batch. The collated object_idx is then (G,).
+
+        Deterministic schedule (r3): the epoch order is a pure function of
+        (seed, epoch), mode-3 scene resamples are keyed by the GLOBAL
+        batch/group counter, and per-example stochasticity is keyed by
+        (seed, epoch, example index) inside the dataset — so the entire
+        stochastic data stream is a function of the batch position.
+        start_batch fast-forwards to that position on resume (the Coach
+        passes global_step * accum_k)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -471,24 +515,46 @@ class DataLoader:
         self.group_size = group_size
         if group_size:
             assert batch_size % group_size == 0, (batch_size, group_size)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)   # back-compat (unused)
+        self._next_batch = int(start_batch)
+
+    @property
+    def batches_per_epoch(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(n // -self.batch_size)
 
     def __iter__(self):
+        """One epoch (or the remainder of one after a fast-forward)."""
         n = len(self.dataset)
-        order = (self.rng.permutation(n) if self.shuffle
-                 else np.arange(n))
-        for start in range(0, n - (self.batch_size - 1 if self.drop_last
-                                   else 0), self.batch_size):
+        bpe = self.batches_per_epoch
+        epoch = self._next_batch // max(bpe, 1)
+        first = self._next_batch % max(bpe, 1)
+        order = (np.random.default_rng((self.seed, epoch)).permutation(n)
+                 if self.shuffle else np.arange(n))
+        self.dataset.set_epoch(epoch)
+        groups_per_batch = (self.batch_size // self.group_size
+                            if self.group_size else 1)
+        for b in range(first, bpe):
+            start = b * self.batch_size
             idxs = order[start:start + self.batch_size]
             if self.group_size:
                 examples = []
-                for g0 in range(0, len(idxs), self.group_size):
-                    self.dataset.reset_sampled_object()
+                for g, g0 in enumerate(
+                        range(0, len(idxs), self.group_size)):
+                    self.dataset.reset_sampled_object(
+                        counter=self._next_batch * groups_per_batch + g)
                     examples.extend(
                         self.dataset[int(i)]
                         for i in idxs[g0:g0 + self.group_size])
             else:
+                if self.dataset.learnable_mode == 3:
+                    self.dataset.reset_sampled_object(
+                        counter=self._next_batch)
                 examples = [self.dataset[int(i)] for i in idxs]
+            self._next_batch += 1
             yield self._collate(examples, self.group_size)
 
     @staticmethod

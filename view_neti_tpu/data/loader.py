@@ -18,16 +18,19 @@ from view_neti_tpu.data.dataset import DataLoader, TextualInversionDataset
 class PrefetchLoader:
     """Wraps DataLoader with an N-deep background prefetch queue.
 
-    NOTE (mode 3): scene resampling must happen on the producer side to
-    affect the *next* produced batch, mirroring the reference's in-loop
-    reset (reference coach.py:155-156); pass reset_each_batch=True.
-    """
+    Mode-3 scene resampling happens inside DataLoader.__iter__, keyed by
+    the global batch counter (r3 deterministic schedule) — the producer
+    thread just runs the iterator, so prefetch and resume-fast-forward
+    compose. reset_each_batch is retained for signature compatibility
+    (the counter-keyed reset supersedes it)."""
 
     def __init__(self, dataset: TextualInversionDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, depth: int = 2,
-                 reset_each_batch: bool = False, group_size=None):
+                 reset_each_batch: bool = False, group_size=None,
+                 start_batch: int = 0):
         self.inner = DataLoader(dataset, batch_size, shuffle=shuffle,
-                                seed=seed, group_size=group_size)
+                                seed=seed, group_size=group_size,
+                                start_batch=start_batch)
         self.dataset = dataset
         self.depth = depth
         self.reset_each_batch = reset_each_batch
@@ -41,8 +44,6 @@ class PrefetchLoader:
                 if self._stop.is_set():
                     return
                 self._q.put(batch)
-                if self.reset_each_batch:
-                    self.dataset.reset_sampled_object()
         finally:
             self._q.put(None)
 

@@ -305,9 +305,9 @@ class UNet2DCondition(nn.Module):
                         x, context, context_bypass)
                     xti += 1
             if i < num_blocks - 1:
-                B, H, W, C = x.shape
-                x = jax.image.resize(x, (B, H * 2, W * 2, C), "nearest")
-                x = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
+                from view_neti_tpu.ops.resize import nearest_upsample_2x
+                x = nearest_upsample_2x(x)
+                x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(x)
 
         assert xti == 16, f"XTI layer count {xti} != 16"

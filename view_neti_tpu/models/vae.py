@@ -151,8 +151,8 @@ class Decoder(nn.Module):
                 h = ResnetBlock(out_ch, cfg.norm_groups, self.dtype,
                                 name=f"up_{i}_block_{j}")(h)
             if i != len(cfg.channel_mults) - 1:
-                B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
+                from view_neti_tpu.ops.resize import nearest_upsample_2x
+                h = nearest_upsample_2x(h)
                 h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
         h = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")(h)

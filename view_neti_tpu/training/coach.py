@@ -363,31 +363,37 @@ class Coach:
             else:
                 # host emits cached uint8 bases (per-step transfer)
                 self.train_dataset.emit_base_pixels = True
+        k = self.accum_k
+        # resume fast-forward: the data schedule is a pure function of the
+        # global batch counter (DataLoader r3 deterministic schedule), and
+        # step keys a pure function of the micro-step index — a resumed
+        # run replays the uninterrupted run's exact stochastic stream
+        micro_step = self.global_step * k
         if use_prefetch:
             from view_neti_tpu.data.loader import PrefetchLoader
             loader = PrefetchLoader(
                 self.train_dataset, batch_size=self.micro_batch_size,
                 shuffle=True, seed=cfg.seed,
-                reset_each_batch=(cfg.learnable_mode == 3
-                                  and not self.mode3_group_size),
-                group_size=self.mode3_group_size)
+                group_size=self.mode3_group_size,
+                start_batch=micro_step)
         else:
             loader = DataLoader(self.train_dataset,
                                 batch_size=self.micro_batch_size,
                                 shuffle=True, seed=cfg.seed,
-                                group_size=self.mode3_group_size)
-        rng = jax.random.PRNGKey(cfg.optim.seed or cfg.seed)
+                                group_size=self.mode3_group_size,
+                                start_batch=micro_step)
         trainable, opt_state = self.trainable, self.opt_state
-        k = self.accum_k
-        micro_step = 0
         last_loss = float("nan")
         self._pending_metrics = None
-        # Pre-split step keys in bulk and keep them as host numpy: a
-        # per-step jax.random.split is a separate device dispatch, and on a
-        # tunneled TPU every dispatch pays the tunnel round-trip.
-        pool_n = min(max(cfg.optim.max_train_steps * k + 16, 32), 65536)
-        key_pool = np.asarray(jax.random.split(rng, pool_n + 1))
-        key_idx = 0
+        # Stateless per-micro-step PRNG: key(m) = fold_in(base, m),
+        # computed host-side on the CPU backend (a per-step device-side
+        # split would pay the tunnel round-trip; a pre-split pool would
+        # replay from position 0 after a resume).
+        self._cpu = jax.devices("cpu")[0]
+        with jax.default_device(self._cpu):
+            self._base_key = jax.random.PRNGKey(
+                cfg.optim.seed if cfg.optim.seed is not None else cfg.seed)
+        self._key_fns = {}
         t0 = time.time()
         import os
         from view_neti_tpu.utils.profiling import StepTimer, trace
@@ -396,24 +402,15 @@ class Coach:
         trace_ctx = trace(trace_dir)
         trace_ctx.__enter__()
         def batch_stream():
+            # mode-3 scene resampling now lives inside DataLoader.__iter__
+            # keyed by the global batch counter (deterministic schedule)
             while True:
                 for b in loader:
-                    if (cfg.learnable_mode == 3 and not use_prefetch
-                            and not self.mode3_group_size):
-                        # with prefetch the producer thread resamples the
-                        # scene per batch (PrefetchLoader.reset_each_batch);
-                        # with the fused mode-3 layout the DataLoader
-                        # resamples per GROUP inside each batch
-                        self.train_dataset.reset_sampled_object()
                     yield b
 
         stream = batch_stream()
         while self.global_step < cfg.optim.max_train_steps:
             w = self._dispatch_window()
-            if key_idx + max(w, 1) > pool_n:
-                key_pool = np.asarray(jax.random.split(
-                    jnp.asarray(key_pool[-1]), pool_n + 1))
-                key_idx = 0
             if w > 1:
                 # superstep: stack W index-only batches and scan them in
                 # ONE dispatch (amortizes the tunnel round-trip)
@@ -421,8 +418,7 @@ class Coach:
                            for _ in range(w)]
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *batches)
-                keys = np.ascontiguousarray(key_pool[key_idx:key_idx + w])
-                key_idx += w
+                keys = self._step_keys(micro_step, w)
                 multi = self._resolve_multi(w, stacked)
                 trainable, opt_state, metrics = multi(
                     trainable, opt_state, self.built.frozen, stacked, keys)
@@ -431,8 +427,7 @@ class Coach:
                 timer.tick()
             else:
                 batch = self._build_batch(next(stream))
-                sub = key_pool[key_idx]
-                key_idx += 1
+                sub = self._step_keys(micro_step, 1)[0]
                 step_fn = self._resolve_step(batch)
                 trainable, opt_state, metrics = step_fn(
                     trainable, opt_state, self.built.frozen, batch, sub)
@@ -492,6 +487,22 @@ class Coach:
         self.logger.close()
         return {"steps": self.global_step, "wall_s": wall,
                 "final_loss": last_loss}
+
+    def _step_keys(self, m0: int, w: int) -> np.ndarray:
+        """(w, 2) uint32 PRNG keys for micro-steps [m0, m0+w):
+        key(m) = fold_in(base, m). Computed by a tiny CPU-backend jit
+        (cached per w) — never a tunneled-device dispatch, and a pure
+        function of the schedule position (resume-exact)."""
+        fn = self._key_fns.get(w)
+        if fn is None:
+            def f(base, start):
+                return jax.vmap(
+                    lambda i: jax.random.fold_in(base, i))(
+                        start + jnp.arange(w))
+            fn = jax.jit(f)
+            self._key_fns[w] = fn
+        with jax.default_device(self._cpu):
+            return np.asarray(fn(self._base_key, jnp.asarray(m0)))
 
     def _log_step_metrics(self, pending, timer) -> float:
         """Materialize + log a completed dispatch's metrics (see the
@@ -684,13 +695,14 @@ class Coach:
         <exp_dir>/orbax. TPU addition — the reference cannot resume
         (reference training/coach.py:500-506 reloads weights only).
 
-        RNG caveat: host RNG state (the step key pool, dataset
-        numpy/python RNGs) is NOT checkpointed; a resumed run replays the
-        seed-derived data/noise sequence from the restored step's offset
-        within a fresh key pool, so the post-resume stochastic stream
-        differs from the uninterrupted run's. Parameters/optimizer state
-        are exact; only which random draws follow changes — the same
-        situation as the reference's reload-and-rerun workflow."""
+        Resume is EXACT (r3): no RNG state needs checkpointing because
+        none is sequential — step keys are fold_in(base, micro_step), the
+        data order is a function of (seed, epoch), scene resamples of the
+        global batch counter, and per-example stochasticity of
+        (seed, epoch, index). train() fast-forwards the loader to
+        global_step * accum_k, so a resumed run replays the uninterrupted
+        run's exact stochastic stream (tested:
+        tests/test_resume_exact.py)."""
         import dataclasses as dc
         src = self.cfg.log.resume_from
         if not src:
