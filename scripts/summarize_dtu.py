@@ -50,7 +50,11 @@ def main():
 
     rows = []
     for d in args.results_dirs:
-        matches = sorted(d.glob(f"results_all_iter_{args.iteration}*"))
+        # offline-inference bundles first, then in-training validation
+        # bundles (validate.py writes validation-iter_*.msgpack every
+        # round — both families re-score identically)
+        matches = (sorted(d.glob(f"results_all_iter_{args.iteration}*"))
+                   or sorted(d.glob(f"validation-iter_{args.iteration}-*")))
         if not matches:
             print(f"warn: no results bundle in {d}")
             continue

@@ -323,6 +323,10 @@ class TestCropBoxDistribution:
         ratio = bw / bh
         assert np.allclose(ratio, 3 / 4, atol=1e-4)
         assert np.allclose(bw, 64.0, atol=1e-3)
+        # torchvision CENTERS the fallback crop (get_params i=(H-h)//2),
+        # it does not place it randomly
+        assert np.allclose(i, (512.0 - bh) * 0.5, atol=1e-3)
+        assert np.allclose(j, 0.0, atol=1e-3)
 
     def test_in_bounds_draws_keep_sampled_aspect_spread(self):
         # with scale <= 1 nearly every draw is valid: the aspect should

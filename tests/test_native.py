@@ -48,6 +48,20 @@ class TestSelfBuild:
         monkeypatch.setattr(native, "_lib", None)
         assert native.available()
 
+    def test_corrupt_library_degrades_to_pil(self, tmp_path, monkeypatch):
+        """A truncated .so (build killed mid-link) passes the exists+mtime
+        check; load_library must degrade to the PIL path (return None) and
+        remove the corrupt file so a later process rebuilds — never raise
+        into Coach.__init__."""
+        bad = tmp_path / "libimageproc.so"
+        bad.write_bytes(b"\x7fELF not really")
+        monkeypatch.setattr(native, "_NATIVE_DIR", tmp_path)
+        monkeypatch.setattr(native, "_LIB_PATH", bad)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_build_attempted", False)
+        assert native.load_library() is None
+        assert not bad.exists(), "corrupt .so must be removed for rebuild"
+
 
 def _rand_img(h, w, seed=0):
     return np.random.RandomState(seed).randint(

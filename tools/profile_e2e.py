@@ -71,8 +71,13 @@ def main():
         t3 = time.perf_counter()
         for idx, loss in enumerate(losses):
             step_at = end_step - (len(losses) - 1 - idx)
+            # host lr table, same as Coach._log_step_metrics — calling the
+            # jnp lr_schedule here would dispatch a device op mid-loop (the
+            # r2 pathology this profiler exists to detect) and measure a
+            # regressed loop rather than the shipped one
             logs = {"total_loss": float(loss),
-                    "lr": float(self.lr_schedule(step_at))}
+                    "lr": float(self._lr_host[
+                        min(step_at, len(self._lr_host) - 1)])}
             if ips and idx == len(losses) - 1:
                 logs["imgs_per_sec"] = ips
             self.logger.log_metrics(logs, step=step_at)

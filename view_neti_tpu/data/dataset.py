@@ -12,7 +12,6 @@ Modes (captions; reference training/dataset.py:61-80, 634-681):
 """
 from __future__ import annotations
 
-import random as pyrandom
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -89,8 +88,11 @@ class TextualInversionDataset:
         self.caption_strategy = caption_strategy
         self.calibration_dir = calibration_dir
         self.seed = seed
+        # shared sequential generator: FALLBACK ONLY for direct
+        # _augment_normalize/_process_image callers — the train path
+        # always passes a counter-derived per-example generator (see
+        # __getitem__; CLAUDE.md resume-exactness invariant)
         self.rng = np.random.default_rng(seed)
-        self.pyrng = pyrandom.Random(seed)
         # counter-based determinism (r3): every stochastic draw is keyed by
         # (seed, epoch, example index) or an explicit batch counter instead
         # of consuming a shared sequential RNG — so a resumed run replays
@@ -516,7 +518,6 @@ class DataLoader:
         if group_size:
             assert batch_size % group_size == 0, (batch_size, group_size)
         self.seed = seed
-        self.rng = np.random.default_rng(seed)   # back-compat (unused)
         self._next_batch = int(start_batch)
 
     @property

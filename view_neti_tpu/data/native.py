@@ -54,7 +54,21 @@ def load_library() -> Optional[ctypes.CDLL]:
         return None
     if not _maybe_build():
         return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        # a truncated .so (e.g. a build killed mid-link) passes the
+        # exists+mtime check; delete it so the next process rebuilds, and
+        # degrade to the PIL path as the module contract promises
+        import logging
+        logging.getLogger(__name__).warning(
+            "native libimageproc.so failed to load (corrupt build?); "
+            "removed — falling back to PIL")
+        try:
+            _LIB_PATH.unlink()
+        except OSError:
+            pass
+        return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.resize_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

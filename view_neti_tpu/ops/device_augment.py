@@ -264,8 +264,12 @@ def _sample_crop_box(ka, kar, ki, kj, H: int, W: int, spec: AugmentSpec):
     any_valid = jnp.any(valid)
     bw = jnp.where(any_valid, bws[pick], fb_w)
     bh = jnp.where(any_valid, bhs[pick], fb_h)
-    i = jax.random.uniform(ki, ()) * (H - bh)
-    j = jax.random.uniform(kj, ()) * (W - bw)
+    # torchvision places a successful draw uniformly but CENTERS the
+    # fallback crop (get_params: i=(H-h)//2, j=(W-w)//2)
+    i = jnp.where(any_valid, jax.random.uniform(ki, ()) * (H - bh),
+                  (H - bh) * 0.5)
+    j = jnp.where(any_valid, jax.random.uniform(kj, ()) * (W - bw),
+                  (W - bw) * 0.5)
     return i, j, bh, bw
 
 
