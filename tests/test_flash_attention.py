@@ -141,3 +141,29 @@ def test_pick_block():
     assert fa._pick_block(128, 256) == 128
     # 320 has no 128-multiple divisor <= 256 -> whole-axis block
     assert fa._pick_block(320, 256) == 320
+
+
+def _default_blocks(Lq, Lk_pad):
+    """Mirror of flash_attention's default block selection."""
+    bq = fa._pick_block(Lq, fa.DEFAULT_BLOCK_Q)
+    max_bk = max(128, (fa._MAX_TILE_ELEMS // bq) // 128 * 128)
+    bk = fa._pick_block(Lk_pad, min(fa.DEFAULT_BLOCK_K, max_bk))
+    return bq, bk
+
+
+def test_default_blocks_respect_vmem_guard():
+    """The f32 (bq, bk) scoped-VMEM tiles must stay within the measured-safe
+    product at every shape the UNet runs (train 512x384 levels, inference
+    768x576 levels, cross-attention)."""
+    # Lk_pad is the kv length after the 128-multiple padding flash_attention
+    # applies (1728 -> 1792); Lq is used as-is and may be non-128-divisible,
+    # in which case _pick_block falls back to a whole-axis q block.
+    for Lq, Lk_pad in [(3072, 3072), (768, 768), (6912, 6912),
+                       (1728, 1792), (3072, 128), (6912, 128),
+                       (8192, 8192), (320, 8192)]:
+        bq, bk = _default_blocks(Lq, Lk_pad)
+        assert Lq % bq == 0 and Lk_pad % bk == 0
+        assert bq * bk <= fa._MAX_TILE_ELEMS, (Lq, Lk_pad, bq, bk)
+    # the measured-fastest safe training combo is actually selected
+    assert _default_blocks(3072, 3072) == (512, 1024)
+    assert _default_blocks(768, 768) == (384, 768)

@@ -30,8 +30,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# Defaults from a measured sweep at the UNet's training shapes
+# (tools/profile_attention.py, real chip): at L=3072/d=40, bq=512/bk=1024
+# runs 8.45 ms fwd+bwd vs 13.6 ms for the old 256/256 (fwd 4.9 vs 8.3 ms).
+# Whole-axis K blocks (bk=3072) are ~1 ms faster still in the standalone
+# microbenchmark but blow the 16 MB scoped-VMEM limit when the bwd dkv
+# kernel is compiled inside the full train-step program (20.7 MB scoped at
+# bq=384/bk=3072) — the cap below keeps the tile product at a size measured
+# safe in the REAL program, not just the microbenchmark. _pick_block snaps
+# both to divisors for other lengths, so small shapes are unaffected.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
+
+# The kernels hold several f32 (bq, bk) tiles (logits/probs/dp/ds) plus
+# accumulators in scoped VMEM at once; cap the tile product.
+_MAX_TILE_ELEMS = 512 * 1024
 _NEG_INF = -1e30
 
 
@@ -318,7 +331,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # pad kv to a 128-lane multiple, mask inside the kernel
     kf = _pad_to(kf, 1, 128)
     vf = _pad_to(vf, 1, 128)
-    bk = _pick_block(kf.shape[1], block_k)
+    max_bk = max(128, (_MAX_TILE_ELEMS // bq) // 128 * 128)
+    bk = _pick_block(kf.shape[1], min(block_k, max_bk))
     if interpret is None:
         interpret = _default_interpret()
     o = _flash(qf, kf, vf, scale, Lk, bq, bk, interpret)
