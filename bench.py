@@ -217,9 +217,8 @@ def _bench_e2e():
     fused accumulation window). BENCH_MODE=3: multi-scene mode-3
     pretraining recipe (augmentation 5; r3 fuses the k-microbatch window
     into one device batch of k per-scene GROUPS — TrainBatch.object_idx
-    (k,) — preserving the reference's per-microbatch scene resampling;
-    optim.fuse_accumulation=false restores true MultiSteps
-    accumulation)."""
+    (k,) — preserving the reference's per-microbatch scene resampling).
+    BENCH_FUSE=0 restores true MultiSteps accumulation in either mode."""
     import tempfile
     from PIL import Image
     from view_neti_tpu.config import RunConfig, decode
@@ -274,6 +273,8 @@ def _bench_e2e():
         # run compiles only ONE scan program (the 1-core host pays ~2 min
         # per compile)
         "optim": {"mixed_precision": "bf16",
+                  "fuse_accumulation":
+                      os.environ.get("BENCH_FUSE", "1") == "1",
                   "steps_per_dispatch": int(os.environ.get("BENCH_SPD",
                                                            "0")),
                   "max_train_steps": -(steps // -4) * 4},

@@ -9,6 +9,14 @@ from pathlib import Path
 
 # force CPU even when the environment pins JAX_PLATFORMS=axon (real TPU)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers the TPU backend in any process where
+# PALLAS_AXON_POOL_IPS is set — including SUBPROCESSES tests spawn (CLI
+# script tests). A child grabbing the single shared device lease while this
+# process holds it wedges the child until its timeout (observed: a
+# summarize_dtu.py CLI test hanging 600 s). Too late for this process
+# (sitecustomize ran at interpreter start), but dropping the var here means
+# every inherited-env subprocess runs pure-CPU JAX with no lease contention.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

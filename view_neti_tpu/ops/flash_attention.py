@@ -92,9 +92,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + kb * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        if kv_len < lk_pad:                           # static: skip the mask
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + kb * block_k
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -168,9 +169,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + kb * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        if kv_len < lk_pad:                           # static: skip the mask
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + kb * block_k
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -185,7 +187,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale: float, kv_len: int,
-                    block_q: int):
+                    lk_pad: int, block_q: int):
     k = k_ref[0].astype(jnp.float32)                  # (bk, d)
     v = v_ref[0].astype(jnp.float32)
     lq = q_ref.shape[1]
@@ -201,8 +203,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (bq, bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        if kv_len < lk_pad:                           # static: skip the mask
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -269,7 +272,7 @@ def _flash_bwd_rule(scale, kv_len, block_q, block_k, interpret, res, do):
     bk = min(block_k, Lk_pad)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
-                          block_q=block_q),
+                          lk_pad=Lk_pad, block_q=block_q),
         grid=(BH, Lk_pad // bk),
         in_specs=[
             pl.BlockSpec((1, Lq, d), lambda b, j: (b, 0, 0),
