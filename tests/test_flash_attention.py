@@ -93,9 +93,9 @@ class TestProductionShapes:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
-    def test_mid_level_1728_whole_axis_block(self):
-        """48x36=1728 has no 128-multiple divisor <= 256; the kernel must
-        handle a whole-axis query block."""
+    def test_mid_level_1728_padded_q(self):
+        """48x36=1728 has no 128-multiple divisor: q is padded to 1792 and
+        tiled normally (previously a whole-axis 1728 query block)."""
         q, k, v = _rand_qkv(Lq=1728, Lk=1728, H=1, d=16)
         ref = mha_jnp(q, k, v)
         out = fa.flash_attention(q, k, v)
@@ -143,27 +143,45 @@ def test_pick_block():
     assert fa._pick_block(320, 256) == 320
 
 
-def _default_blocks(Lq, Lk_pad):
-    """Mirror of flash_attention's default block selection."""
-    bq = fa._pick_block(Lq, fa.DEFAULT_BLOCK_Q)
-    max_bk = max(128, (fa._MAX_TILE_ELEMS // bq) // 128 * 128)
-    bk = fa._pick_block(Lk_pad, min(fa.DEFAULT_BLOCK_K, max_bk))
-    return bq, bk
+def _pad128(n):
+    return n + (-n) % 128
 
 
 def test_default_blocks_respect_vmem_guard():
     """The f32 (bq, bk) scoped-VMEM tiles must stay within the measured-safe
     product at every shape the UNet runs (train 512x384 levels, inference
-    768x576 levels, cross-attention)."""
-    # Lk_pad is the kv length after the 128-multiple padding flash_attention
-    # applies (1728 -> 1792); Lq is used as-is and may be non-128-divisible,
-    # in which case _pick_block falls back to a whole-axis q block.
-    for Lq, Lk_pad in [(3072, 3072), (768, 768), (6912, 6912),
-                       (1728, 1792), (3072, 128), (6912, 128),
-                       (8192, 8192), (320, 8192)]:
-        bq, bk = _default_blocks(Lq, Lk_pad)
-        assert Lq % bq == 0 and Lk_pad % bk == 0
-        assert bq * bk <= fa._MAX_TILE_ELEMS, (Lq, Lk_pad, bq, bk)
+    768x576 levels, cross-attention) AND at pathological lengths with no
+    128-multiple divisor (the wrapper pads q, so select_blocks always sees
+    128-multiples and can always enforce the cap)."""
+    for Lq, Lk in [(3072, 3072), (768, 768), (6912, 6912),
+                   (1728, 1728), (3072, 77), (6912, 77),
+                   (8192, 8192), (320, 8192),
+                   (16112, 16112)]:   # 2^4*19*53: no 128-multiple divisor
+        Lq_pad, Lk_pad = _pad128(Lq), _pad128(Lk)
+        bq, bk = fa.select_blocks(Lq_pad, Lk_pad)
+        assert Lq_pad % bq == 0 and Lk_pad % bk == 0
+        assert bq * bk <= fa._MAX_TILE_ELEMS, (Lq, Lk, bq, bk)
     # the measured-fastest safe training combo is actually selected
-    assert _default_blocks(3072, 3072) == (512, 1024)
-    assert _default_blocks(768, 768) == (384, 768)
+    assert fa.select_blocks(3072, 3072) == (512, 1024)
+    assert fa.select_blocks(768, 768) == (384, 768)
+
+
+def test_padded_q_matches_reference():
+    """Lq with no 128-multiple divisor goes through the q-padding path
+    (padded rows computed then sliced off), fwd and grad."""
+    q, k, v = _rand_qkv(Lq=72, Lk=128, d=32)
+    ref = mha_jnp(q, k, v)
+    out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_f(f, *a):
+        return jnp.sum(f(*a) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss_f(mha_jnp, *a), argnums=(0, 1, 2))(
+        q, k, v)
+    g_out = jax.grad(lambda *a: loss_f(fa.flash_attention, *a),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)

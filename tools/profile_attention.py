@@ -53,7 +53,14 @@ def timeit_grad(name, f, q, k, v, n=20):
     @jax.jit
     def step(q, k, v, eps):
         dq, dk, dv = g(q + eps.astype(q.dtype), k, v)
-        return dq, jnp.mean(dq.astype(jnp.float32)) * 1e-20
+        # consume ALL grads in the fetched scalar: returning only dq lets
+        # XLA dead-code-eliminate the dkv backward kernel entirely (its
+        # pallas_call vanishes from the HLO), which silently halves what
+        # "fwd+bwd" measures
+        chk = (jnp.mean(dq.astype(jnp.float32))
+               + jnp.mean(dk.astype(jnp.float32))
+               + jnp.mean(dv.astype(jnp.float32))) * 1e-20
+        return dq, chk
 
     dq, eps = step(q, k, v, jnp.float32(0))
     float(eps)

@@ -31,14 +31,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Defaults from a measured sweep at the UNet's training shapes
-# (tools/profile_attention.py, real chip): at L=3072/d=40, bq=512/bk=1024
-# runs 8.45 ms fwd+bwd vs 13.6 ms for the old 256/256 (fwd 4.9 vs 8.3 ms).
-# Whole-axis K blocks (bk=3072) are ~1 ms faster still in the standalone
-# microbenchmark but blow the 16 MB scoped-VMEM limit when the bwd dkv
-# kernel is compiled inside the full train-step program (20.7 MB scoped at
-# bq=384/bk=3072) — the cap below keeps the tile product at a size measured
-# safe in the REAL program, not just the microbenchmark. _pick_block snaps
-# both to divisors for other lengths, so small shapes are unaffected.
+# (tools/profile_attention.py) validated END-TO-END on the real chip:
+# switching 256/256 -> 512/1024 tiles took the shipped train recipe from
+# 26.2 to 31.2 imgs/sec/chip (bench.py, tail-median). In the sweep, the
+# L=3072/d=40 fwd ran 4.9 vs 8.3 ms and fwd+dq-bwd 8.45 vs 13.6 ms.
+# Whole-axis K blocks (bk=3072) were ~1 ms faster still standalone but
+# blow the 16 MB scoped-VMEM limit when the bwd dkv kernel is compiled
+# inside the full train-step program (20.7 MB scoped at bq=384/bk=3072) —
+# select_blocks caps the tile product at a size verified in the REAL
+# program, not just the microbenchmark. _pick_block snaps both to divisors
+# for other lengths, so small shapes are unaffected.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 
@@ -319,27 +321,49 @@ def _default_interpret() -> bool:
         return True
 
 
+def select_blocks(Lq_pad: int, Lk_pad: int) -> tuple:
+    """Default (bq, bk) for padded lengths, capped so bq*bk stays within the
+    scoped-VMEM-safe tile product. Both lengths must be 128-multiples (the
+    wrapper pads q AND kv), so _pick_block always finds a divisor <= target
+    and the cap can always shrink bk."""
+    bq = _pick_block(Lq_pad, DEFAULT_BLOCK_Q)
+    max_bk = max(128, (_MAX_TILE_ELEMS // bq) // 128 * 128)
+    bk = _pick_block(Lk_pad, min(DEFAULT_BLOCK_K, max_bk))
+    return bq, bk
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Flash attention over (B, Lq, H, d) / (B, Lk, H, d) tensors."""
+    """Flash attention over (B, Lq, H, d) / (B, Lk, H, d) tensors.
+
+    block_q/block_k=None (production path) selects capped defaults via
+    select_blocks. Explicit values are honored as-is after divisor
+    snapping — sweeps (tools/profile_attention.py) must measure what the
+    label says, and the caller owns the VMEM risk."""
     B, Lq, H, d = q.shape
     Lk = k.shape[1]
     scale = d ** -0.5
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Lk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Lk, d)
-    bq = _pick_block(Lq, block_q)
+    # pad q to a 128-sublane multiple: attention rows are independent, so
+    # padded q rows just compute extra output rows sliced off below (and
+    # their do cotangent is zero-padded by the slice's vjp, contributing
+    # exactly zero to dk/dv). This removes whole-axis q blocks for lengths
+    # with no 128-multiple divisor (e.g. 768x576 level-1 L=1728).
+    qf = _pad_to(qf, 1, 128)
     # pad kv to a 128-lane multiple, mask inside the kernel
     kf = _pad_to(kf, 1, 128)
     vf = _pad_to(vf, 1, 128)
-    max_bk = max(128, (_MAX_TILE_ELEMS // bq) // 128 * 128)
-    bk = _pick_block(kf.shape[1], min(block_k, max_bk))
+    d_bq, d_bk = select_blocks(qf.shape[1], kf.shape[1])
+    bq = d_bq if block_q is None else _pick_block(qf.shape[1], block_q)
+    bk = d_bk if block_k is None else _pick_block(kf.shape[1], block_k)
     if interpret is None:
         interpret = _default_interpret()
     o = _flash(qf, kf, vf, scale, Lk, bq, bk, interpret)
-    return o.reshape(B, H, Lq, d).transpose(0, 2, 1, 3)
+    return o[:, :Lq].reshape(B, H, Lq, d).transpose(0, 2, 1, 3)
 
 
 _fallback_warned = set()
