@@ -166,6 +166,17 @@ def test_default_blocks_respect_vmem_guard():
     assert fa.select_blocks(768, 768) == (384, 768)
 
 
+def test_explicit_blocks_honored_not_capped():
+    """Explicit block sizes bypass the VMEM cap (sweep tools must measure
+    what the label says); the kernel stays correct with an over-cap tile."""
+    q, k, v = _rand_qkv(Lq=1024, Lk=1024, d=32)
+    assert 1024 * 1024 > fa._MAX_TILE_ELEMS
+    ref = mha_jnp(q, k, v)
+    out = fa.flash_attention(q, k, v, block_q=1024, block_k=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_padded_q_matches_reference():
     """Lq with no 128-multiple divisor goes through the q-padding path
     (padded rows computed then sliced off), fwd and grad."""
