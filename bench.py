@@ -33,6 +33,71 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_IMGS_PER_SEC_EST = 6.0
 
+# Measured practical bf16 compute ceiling of this tunneled v5e chip
+# (matmul/conv microbenchmarks, tools/profile_vae.py — r2): the nominal
+# 197 TFLOP/s is not reachable through the tunnel's dispatch overheads.
+MEASURED_CEILING_TFLOPS = 71.5  # midpoint of the observed 67-76 band
+
+
+def _metric_name():
+    if os.environ.get("BENCH_INFER", "0") == "1":
+        n = os.environ.get("BENCH_INFER_STEPS", "30")
+        return (f"sec/image SD-1.5 NVS inference (768x576, {n} DPM++ "
+                "steps, CFG, 3 seeds batched)")
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        mode = os.environ.get("BENCH_MODE", "2")
+        return (f"imgs/sec/chip mode-{mode} SD-1.5 TI train "
+                "(augmented recipe, end-to-end)")
+    return "imgs/sec/chip mode-2 SD-1.5 TI train (512x384, bf16)"
+
+
+def _emit_error(msg):
+    """One parsable JSON line even when the TPU tunnel is dead (VERDICT r3
+    item 1b: r3's BENCH capture was a bare rc=1 traceback)."""
+    print(json.dumps({
+        "metric": _metric_name(),
+        "value": 0.0,
+        "unit": "error",
+        "vs_baseline": 0.0,
+        "error": msg,
+    }), flush=True)
+
+
+def _guard_backend():
+    """Bounded-wait relay probe + backend-init watchdog.
+
+    Probes the relay's TCP ports (pure socket, no device lease touched),
+    waiting up to BENCH_RELAY_WAIT seconds for it to come up; then arms a
+    watchdog so a PJRT dial loop that blocks anyway cannot wedge the
+    capture. On any failure prints the error JSON and exits 0 so the
+    driver records a parsable line instead of rc=1/rc=124.
+    """
+    from view_neti_tpu.utils import relay
+    if not relay.tpu_requested():
+        return
+    window = float(os.environ.get("BENCH_RELAY_WAIT", "900"))
+    if not relay.wait_for_relay(window):
+        _emit_error(f"axon relay unreachable: ports {relay.RELAY_PORTS} "
+                    f"closed for {window:.0f}s (tunnel dead; see CLAUDE.md "
+                    "tunnel-death diagnosis)")
+        sys.exit(0)
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
+
+    def _on_hang():
+        _emit_error(f"axon backend init hung >{init_timeout:.0f}s with "
+                    "relay ports open")
+        os._exit(0)
+
+    cancel = relay.hang_watchdog(init_timeout, _on_hang)
+    try:
+        devs = jax.devices()
+    except Exception as e:  # fast UNAVAILABLE and friends
+        cancel()
+        _emit_error(f"axon backend init failed: {type(e).__name__}: {e}")
+        sys.exit(0)
+    cancel()
+    print(f"# backend up: {devs}", file=sys.stderr)
+
 
 def main():
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
@@ -108,9 +173,9 @@ def main():
     if os.environ.get("BENCH_AUG", "0") == "1":
         from view_neti_tpu.ops import device_augment
         aug_spec = device_augment.from_augmentation_key(7)
-    step = jax.jit(make_train_step(opt, compute_dtype=jnp.bfloat16,
-                                   augment=aug_spec),
-                   donate_argnums=(0, 1))
+    step_jit = jax.jit(make_train_step(opt, compute_dtype=jnp.bfloat16,
+                                       augment=aug_spec),
+                       donate_argnums=(0, 1))
 
     # synthetic batch at mode-2 shapes
     view_id = built.placeholder_view_token_ids[0]
@@ -137,8 +202,13 @@ def main():
     if os.environ.get("BENCH_CHECK_FLASH", "0") == "1" and not tiny:
         _check_flash_equivalence(built, batch)
 
-    # warmup (compile)
+    # AOT compile so XLA's own FLOPs estimate is available for the
+    # achieved-TFLOP/s / MFU report (VERDICT r3 weak #5)
     t_c0 = time.time()
+    step = step_jit.lower(trainable, opt_state, built.frozen, batch,
+                          jax.random.PRNGKey(1)).compile()
+    flops_per_call = _cost_flops(step)
+    # warmup
     for _ in range(2):
         rng, sub = jax.random.split(rng)
         trainable, opt_state, metrics = step(trainable, opt_state,
@@ -155,15 +225,40 @@ def main():
     dt = time.time() - t0
 
     imgs_per_sec = B * steps / dt
-    print(json.dumps({
+    record = {
         "metric": "imgs/sec/chip mode-2 SD-1.5 TI train (512x384, bf16)",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_IMGS_PER_SEC_EST, 3),
-    }))
+    }
+    record.update(_mfu_fields(flops_per_call, B, imgs_per_sec))
+    print(json.dumps(record))
     print(f"# backend={jax.default_backend()} compile_s={compile_s:.1f} "
           f"step_ms={1000 * dt / steps:.1f} "
           f"loss={float(metrics['total_loss']):.4f}", file=sys.stderr)
+
+
+def _cost_flops(compiled):
+    """XLA cost-model FLOPs of a compiled executable, or None."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(flops_per_call, imgs_per_call, imgs_per_sec):
+    """Achieved TFLOP/s and utilization vs the MEASURED chip ceiling
+    (67-76 TFLOP/s bf16 through the tunnel — not the nominal 197)."""
+    if not flops_per_call:
+        return {}
+    tflops = imgs_per_sec / imgs_per_call * flops_per_call / 1e12
+    return {"tflops_per_sec": round(tflops, 2),
+            "mfu_vs_measured_ceiling":
+                round(tflops / MEASURED_CEILING_TFLOPS, 3)}
 
 
 def _check_flash_equivalence(built, batch):
@@ -304,6 +399,7 @@ def _bench_e2e():
 
     coach_mod.Coach._resolve_multi = timed_resolve
     coach_mod.Coach._resolve_step = timed_step
+    os.environ.setdefault("VIEW_NETI_BENCH_COST", "1")
     coach = Coach(cfg, calibration_dir=cal)
     # keep the Coach's own EMA rate visible for cross-checking
     rates = []
@@ -331,13 +427,18 @@ def _bench_e2e():
         imgs_per_sec = float(np.median(ema_tail))
     else:
         imgs_per_sec = coach.micro_batch_size * result["steps"] / wall
-    print(json.dumps({
+    record = {
         "metric": f"imgs/sec/chip mode-{mode} SD-1.5 TI train "
                   "(augmented recipe, end-to-end)",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_IMGS_PER_SEC_EST, 3),
-    }))
+    }
+    cost = coach.dispatch_cost_analysis()
+    if cost is not None:
+        flops, imgs = cost
+        record.update(_mfu_fields(flops, imgs, imgs_per_sec))
+    print(json.dumps(record))
     rejected = getattr(getattr(coach, "last_step_timer", None),
                        "rejected_total", 0)
     print(f"# wall={wall:.1f}s steps={result['steps']} "
@@ -439,9 +540,31 @@ if __name__ == "__main__":
     # the Coach (host pipeline + device step together) — the honest
     # deployment number. BENCH_E2E=0 gives the raw device-step metric
     # (round-1-comparable).
-    if os.environ.get("BENCH_INFER", "0") == "1":
-        _bench_infer()
-    elif os.environ.get("BENCH_E2E", "1") == "1":
-        _bench_e2e()
-    else:
-        main()
+    _guard_backend()
+    # Whole-run wall bound: a tunnel that dies MID-benchmark would
+    # otherwise hang until the driver's own timeout (an unparsable
+    # capture). 90 min is far above any cached-compile run here.
+    from view_neti_tpu.utils import relay as _relay
+
+    _wall = float(os.environ.get("BENCH_WALL_LIMIT", "5400"))
+
+    def _on_wall():
+        _emit_error(f"benchmark exceeded BENCH_WALL_LIMIT={_wall:.0f}s "
+                    "(tunnel likely died mid-run)")
+        os._exit(0)
+
+    _cancel_wall = _relay.hang_watchdog(_wall, _on_wall)
+    try:
+        if os.environ.get("BENCH_INFER", "0") == "1":
+            _bench_infer()
+        elif os.environ.get("BENCH_E2E", "1") == "1":
+            _bench_e2e()
+        else:
+            main()
+    except SystemExit:
+        raise
+    except BaseException as e:
+        _emit_error(f"{type(e).__name__}: {e}")
+        raise
+    finally:
+        _cancel_wall()

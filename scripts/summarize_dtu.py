@@ -52,30 +52,36 @@ def main():
     for d in args.results_dirs:
         # offline-inference bundles first, then in-training validation
         # bundles (validate.py writes validation-iter_*.msgpack every
-        # round — both families re-score identically)
-        matches = (sorted(d.glob(f"results_all_iter_{args.iteration}*"))
-                   or sorted(d.glob(f"validation-iter_{args.iteration}-*")))
+        # round — both families re-score identically). The explicit
+        # *.msgpack suffix keeps the glob off the PNG sheets written to
+        # the same dir (ADVICE r3); mode-3 runs save one bundle per
+        # eval token, so ALL matches are scored, tagged by bundle name.
+        matches = (
+            sorted(d.glob(f"results_all_iter_{args.iteration}*.msgpack"))
+            or sorted(d.glob(f"validation-iter_{args.iteration}-*.msgpack")))
         if not matches:
             print(f"warn: no results bundle in {d}")
             continue
-        bundle = serialization.msgpack_restore(matches[0].read_bytes())
-        preds = np.asarray(bundle["imgs_pred"])     # (S, bs, h, w, 3)
-        gt = np.asarray(bundle["imgs_gt"])          # (bs, h, w, 3)
-        masks = np.asarray(bundle["masks"])
-        for si in range(preds.shape[0]):
-            p = preds[si]
-            mse = np.asarray(M.masked_mse(jnp.asarray(p), jnp.asarray(gt),
-                                          jnp.asarray(masks)))
-            psnr = np.asarray(M.psnr_from_mse(jnp.asarray(mse)))
-            ssim = np.asarray(M.ssim(jnp.asarray(p * masks),
-                                     jnp.asarray(gt * masks)))
-            lpips = (np.asarray(lpips_fn(
-                jnp.asarray(p * masks) * 2 - 1,
-                jnp.asarray(gt * masks) * 2 - 1))
-                if lpips_fn else np.zeros_like(ssim))
-            rows.append(dict(scan=d.name, seed=si, mse=mse.mean(),
-                             psnr=psnr.mean(), ssim=ssim.mean(),
-                             lpips=lpips.mean()))
+        for path in matches:
+            bundle = serialization.msgpack_restore(path.read_bytes())
+            preds = np.asarray(bundle["imgs_pred"])     # (S, bs, h, w, 3)
+            gt = np.asarray(bundle["imgs_gt"])          # (bs, h, w, 3)
+            masks = np.asarray(bundle["masks"])
+            for si in range(preds.shape[0]):
+                p = preds[si]
+                mse = np.asarray(M.masked_mse(jnp.asarray(p),
+                                              jnp.asarray(gt),
+                                              jnp.asarray(masks)))
+                psnr = np.asarray(M.psnr_from_mse(jnp.asarray(mse)))
+                ssim = np.asarray(M.ssim(jnp.asarray(p * masks),
+                                         jnp.asarray(gt * masks)))
+                lpips = (np.asarray(lpips_fn(
+                    jnp.asarray(p * masks) * 2 - 1,
+                    jnp.asarray(gt * masks) * 2 - 1))
+                    if lpips_fn else np.zeros_like(ssim))
+                rows.append(dict(scan=d.name, bundle=path.stem, seed=si,
+                                 mse=mse.mean(), psnr=psnr.mean(),
+                                 ssim=ssim.mean(), lpips=lpips.mean()))
     df = pd.DataFrame(rows)
     summary = df.groupby("seed")[["mse", "psnr", "ssim", "lpips"]].mean()
     print(summary)

@@ -35,6 +35,10 @@ def result_dirs(tmp_path_factory):
     intrain.mkdir()
     (intrain / "validation-iter_100-denoisesteps_5_numseeds_2.msgpack"
      ).write_bytes(serialization.msgpack_serialize(_bundle(1)))
+    # decoy PNGs sharing the validation-iter_ prefix (the t2i sheets land
+    # in the same dir; ADVICE r3 — the glob must not pick them up)
+    (intrain / "validation-iter_100-denoisesteps_5_imgs_t2i_0.png"
+     ).write_bytes(b"\x89PNG not a bundle")
     return offline, intrain
 
 
@@ -65,3 +69,21 @@ def test_warns_on_missing_bundle(result_dirs, tmp_path):
     missing.mkdir()
     r = _run([missing], tmp_path / "s.csv")
     assert "no results bundle" in r.stdout + r.stderr
+
+
+def test_scores_all_bundles_in_a_dir(tmp_path):
+    """Mode-3 runs save one bundle per eval token; ALL must be scored,
+    not just the alphabetically-first (ADVICE r3)."""
+    import pandas as pd
+    d = tmp_path / "scan3"
+    d.mkdir()
+    for tok in ("tokenA", "tokenB"):
+        (d / f"validation-iter_100-{tok}_numseeds_2.msgpack").write_bytes(
+            serialization.msgpack_serialize(_bundle(2)))
+    out = tmp_path / "s.csv"
+    r = _run([d], out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    df = pd.read_csv(out)
+    assert len(df) == 4                         # 2 bundles x 2 seeds
+    assert sorted(df["bundle"].str.contains("tokenA")) == [
+        False, False, True, True]

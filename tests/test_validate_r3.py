@@ -239,3 +239,35 @@ class TestValidationFailureTolerance:
         assert ExplodingValidator.calls == 2
         assert any("validation at step" in m and "failed" in m
                    for m in msgs)
+
+    def test_consecutive_validation_failures_abort(self, tmp_path):
+        """ADVICE r3: a SYSTEMATIC validation error (bad masks_root,
+        missing calibration) must abort after
+        eval.max_validation_failures consecutive failures instead of
+        reducing a long run's whole eval record to log noise."""
+        from view_neti_tpu.training.coach import Coach
+        cfg = decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 4,
+                     "resolution": 16},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "log": {"exp_dir": str(tmp_path),
+                    "save_dataset_images": False},
+            "eval": {"validation_steps": 1,
+                     "max_validation_failures": 2},
+            "optim": {"max_train_steps": 4, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 1}})
+        coach = Coach(cfg, arch=builder.tiny_arch())
+
+        class ExplodingValidator:
+            calls = 0
+
+            def infer(self, coach, trainable, step):
+                ExplodingValidator.calls += 1
+                raise RuntimeError("missing calibration dir")
+
+        coach.validator = ExplodingValidator()
+        with pytest.raises(RuntimeError,
+                           match="consecutive validation failures"):
+            coach.train()
+        assert ExplodingValidator.calls == 2

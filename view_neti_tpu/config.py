@@ -186,6 +186,12 @@ class EvalConfig:
     # DO_T2I_GENERALIZATION = False (reference training/validate.py:268);
     # here it is a config flag with the same default.
     do_t2i_generalization: bool = False
+    # Abort training after this many CONSECUTIVE validation failures
+    # (skip-and-continue otherwise). TPU addition (ADVICE r3): the
+    # reference retries only HF-hub ConnectionErrors
+    # (reference training/validate.py:426-437); a blanket swallow would
+    # let a systematic eval bug silently void a 50k-step run's record.
+    max_validation_failures: int = 3
 
     def __post_init__(self):
         if self.validation_seeds is None:

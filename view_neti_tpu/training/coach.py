@@ -7,6 +7,7 @@ data, vocabulary growth, checkpoint cadence, validation cadence, logging.
 """
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -181,6 +182,14 @@ class Coach:
             spd = 4 if self.use_pixel_cache else 1
         self.steps_per_dispatch = spd
         self._multi_steps = {}
+        # bench-only MFU hook: capture the first dispatch's lowered program
+        # so bench.py can read XLA's FLOPs estimate (VERDICT r3 weak #5 —
+        # report achieved TFLOP/s against the measured chip ceiling, not
+        # just the A100 estimate). Off by default: .lower() re-traces the
+        # full SD step (~seconds) once.
+        self._cost_hook = os.environ.get("VIEW_NETI_BENCH_COST") == "1"
+        self._dispatch_lowered = None
+        self._dispatch_imgs = 0
         # mesh resolution: explicit arg > cfg.parallel.use_mesh > auto.
         # Auto engages only on a real accelerator backend (virtual CPU
         # device farms — tests — must opt in explicitly).
@@ -385,6 +394,7 @@ class Coach:
         trainable, opt_state = self.trainable, self.opt_state
         last_loss = float("nan")
         self._pending_metrics = None
+        self._val_failures = 0
         # Stateless per-micro-step PRNG: key(m) = fold_in(base, m),
         # computed host-side on the CPU backend (a per-step device-side
         # split would pay the tunnel round-trip; a pre-split pool would
@@ -420,6 +430,13 @@ class Coach:
                     lambda *xs: np.stack(xs), *batches)
                 keys = self._step_keys(micro_step, w)
                 multi = self._resolve_multi(w, stacked)
+                if self._cost_hook and self._dispatch_lowered is None:
+                    # must lower BEFORE the call: the call donates
+                    # trainable/opt_state buffers
+                    self._dispatch_lowered = multi.lower(
+                        trainable, opt_state, self.built.frozen, stacked,
+                        keys)
+                    self._dispatch_imgs = self.micro_batch_size * w
                 trainable, opt_state, metrics = multi(
                     trainable, opt_state, self.built.frozen, stacked, keys)
                 micro_step += w
@@ -429,6 +446,10 @@ class Coach:
                 batch = self._build_batch(next(stream))
                 sub = self._step_keys(micro_step, 1)[0]
                 step_fn = self._resolve_step(batch)
+                if self._cost_hook and self._dispatch_lowered is None:
+                    self._dispatch_lowered = step_fn.lower(
+                        trainable, opt_state, self.built.frozen, batch, sub)
+                    self._dispatch_imgs = self.micro_batch_size
                 trainable, opt_state, metrics = step_fn(
                     trainable, opt_state, self.built.frozen, batch, sub)
                 micro_step += 1
@@ -461,16 +482,30 @@ class Coach:
                     # validate.py:426-437 / inference_dtu.py:129-138 retry
                     # ConnectionErrors; here ANY validation hiccup — a
                     # matplotlib/IO error at step 40k of a 50k-step run —
-                    # must not kill training)
+                    # must not kill training). But a SYSTEMATIC error (bad
+                    # masks_root, missing calibration dir) would otherwise
+                    # reduce a 50k-step run's entire eval record to log
+                    # noise (ADVICE r3), so after max_validation_failures
+                    # CONSECUTIVE failures we abort loudly instead.
                     try:
                         self.validator.infer(coach=self,
                                              trainable=trainable,
                                              step=self.global_step)
+                        self._val_failures = 0
                     except Exception as e:
+                        self._val_failures += 1
+                        limit = self.cfg.eval.max_validation_failures
                         self.logger.log_message(
                             f"WARNING: validation at step "
                             f"{self.global_step} failed ({e!r}); "
-                            "continuing training")
+                            f"{self._val_failures}/{limit} consecutive")
+                        if self._val_failures >= limit:
+                            raise RuntimeError(
+                                f"{limit} consecutive validation failures "
+                                "— aborting so a systematic eval error is "
+                                "not silently swallowed (set "
+                                "eval.max_validation_failures to raise "
+                                "the limit)") from e
         if self._pending_metrics is not None:
             last_loss = self._log_step_metrics(self._pending_metrics, timer)
             self._pending_metrics = None
@@ -687,6 +722,26 @@ class Coach:
                 replicated=self._rep,
                 frozen_sharding=self._frozen_sharding)
         return self.train_step
+
+    def dispatch_cost_analysis(self):
+        """(flops, imgs) of one compiled training dispatch, from XLA's own
+        cost model — or None. Requires VIEW_NETI_BENCH_COST=1 at
+        construction (see _cost_hook). The .compile() here is a persistent
+        compile-cache hit: the identical program was already compiled by
+        the training loop's first dispatch."""
+        if self._dispatch_lowered is None:
+            return None
+        try:
+            ca = self._dispatch_lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception as e:
+            self.logger.log_message(f"cost_analysis unavailable: {e!r}")
+            return None
+        if flops <= 0:
+            return None
+        return flops, self._dispatch_imgs
 
     def _maybe_resume(self) -> None:
         """log.resume_from: restore trainable params, optimizer state, PE

@@ -50,7 +50,10 @@ class TrainBatch:
     input_ids: jnp.ndarray               # (B, L) int32
     input_ids_placeholder_object: jnp.ndarray   # (B,) int32, -1 if absent
     input_ids_placeholder_view: jnp.ndarray     # (B,) int32, -1 if absent
-    object_idx: jnp.ndarray              # () int32 — mode-3 scene index
+    # mode-3 scene index: scalar () int32 normally, or (G,) per-group
+    # indices when fuse_accumulation packs G microbatch groups into one
+    # device batch (text_forward/mesh special-case the 1-D layout)
+    object_idx: jnp.ndarray
 
 
 @jax.tree_util.register_dataclass
