@@ -307,6 +307,14 @@ class Coach:
         cfg = self.cfg
         if cfg.learnable_mode in (4, 5) and cfg.model.pretrained_view_mapper:
             p = Path(cfg.model.pretrained_view_mapper)
+            if p.exists() and p.suffix in (".pt", ".bin", ".pth"):
+                # reference torch artifact: convert in place
+                # (torch_interop.py; reference checkpoint_handler.py:57-97)
+                from view_neti_tpu.torch_interop import \
+                    maybe_import_view_mapper
+                p = maybe_import_view_mapper(p)
+                self.logger.log_message(
+                    f"imported torch view mapper -> {p}")
             if p.exists():
                 _, payload = CheckpointHandler.load_mapper(p)
                 entry = payload["mappers"]["view"]
