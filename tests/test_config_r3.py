@@ -1,9 +1,12 @@
 """Round-3 config/optim surface: InferenceConfig CLI parity, the
 do_t2i_generalization gate, and the host-side lr table."""
 import numpy as np
+import pytest
 
 from view_neti_tpu.config import (InferenceConfig, RunConfig, decode,
                                   parse_cli)
+
+pytestmark = pytest.mark.quick
 
 
 class TestInferenceConfigCLI:

@@ -9,6 +9,8 @@ from view_neti_tpu.config import (RunConfig, decode, encode, parse_cli,
 from view_neti_tpu.tokenizer import FallbackTokenizer, CLIP_MAX_LENGTH
 from view_neti_tpu.data import dtu
 
+pytestmark = pytest.mark.quick
+
 
 class TestCodec:
     def test_int_roundtrip(self):

@@ -23,6 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 from view_neti_tpu.models.neti_mapper import NeTIMapper  # noqa: E402
 from view_neti_tpu.utils.types import PESigmas  # noqa: E402
 
+pytestmark = pytest.mark.quick
+
 DIM = 32          # word embedding dim (tiny)
 PE_DIM = 64       # arch-15 encode dim
 

@@ -15,6 +15,8 @@ import pytest
 
 from view_neti_tpu.utils import relay
 
+pytestmark = pytest.mark.quick
+
 REPO = Path(__file__).resolve().parents[1]
 
 

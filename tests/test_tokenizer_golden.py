@@ -15,6 +15,8 @@ import pytest
 
 from view_neti_tpu.tokenizer import ClipBPETokenizer
 
+pytestmark = pytest.mark.quick
+
 transformers = pytest.importorskip("transformers")
 
 VOCAB_DIR = Path(__file__).parent / "fixtures" / "clip_vocab"

@@ -24,6 +24,8 @@ from view_neti_tpu.torch_interop import (  # noqa: E402
     import_torch_artifacts)
 from view_neti_tpu.utils.types import PESigmas  # noqa: E402
 
+pytestmark = pytest.mark.quick
+
 PE_DIM = 64
 WORD_DIM = 32
 

@@ -172,6 +172,7 @@ class TestTrainStep:
             trainable["object"])
         assert sum(jax.tree_util.tree_leaves(diff)) > 0
 
+    @pytest.mark.quick   # the quick tier's one tiny end-to-end train step
     def test_mode2_both_update(self):
         cfg, built, trainable, _, losses = self._run_steps(2, n_view=3)
         for key in ("object", "view"):
