@@ -125,6 +125,27 @@ class TestFallbackGate:
             warnings.simplefilter("error")
             assert fa.flash_attention_compat(q, k, v) is None
 
+    def test_big_odd_length_now_covered(self):
+        """r4 (VERDICT item 5): q-padding makes the kernel Lq-agnostic,
+        so a large non-multiple-of-8 length must run through flash (no
+        None, no warning) and match the jnp reference."""
+        fa._fallback_warned.clear()
+        q, k, v = _rand_qkv(Lq=300, Lk=300, H=1, d=16)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = fa.flash_attention_compat(q, k, v)
+        assert out is not None
+        ref = mha_jnp(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_odd_head_dim_big_shape_still_warns(self):
+        fa._fallback_warned.clear()
+        q, k, v = _rand_qkv(Lq=1024, Lk=1024, H=1, d=20)
+        with pytest.warns(UserWarning, match="unsupported head dim"):
+            assert fa.flash_attention_compat(q, k, v) is None
+
     def test_supported_shape_does_not_warn(self):
         fa._fallback_warned.clear()
         q, k, v = _rand_qkv(Lq=64, Lk=64, H=1, d=16)

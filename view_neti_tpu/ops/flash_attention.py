@@ -371,27 +371,33 @@ _fallback_warned = set()
 
 def flash_attention_compat(q, k, v) -> Optional[jnp.ndarray]:
     """Shape-gated entry used by ops.attention: returns None if the kernel
-    doesn't support the shapes (caller falls back to jnp).
+    shouldn't handle the shapes (caller falls back to jnp).
 
     The gate is STATIC shape checks only; kernel/compile errors propagate
     loudly rather than silently degrading to the O(Lq*Lk)-memory jnp path
     (a VMEM overflow or Mosaic regression must be visible, not a 10x
-    throughput cliff with no signal). Tiny attentions (logits that fit in
-    ~a few MB, e.g. the UNet's 12x9=108-token level at 768x576) fall back
-    WITHOUT a warning — there the jnp path is both harmless and measurably
-    faster than a kernel launch."""
+    throughput cliff with no signal). Since the wrapper pads q to
+    128-sublane multiples (r4: e6e13c3 made the kernel Lq-agnostic), the
+    only HARD requirements left are the head dim's (d%8==0, d<=256 —
+    satisfied by every SD1.5/SD2.1 level: d in {40, 64, 80, 160}). Tiny
+    ODD-length attentions (the UNet's 12x9=108-token deepest level at
+    768x576) still route to jnp without a warning — the padding overhead
+    plus kernel launch buys nothing at that size, and the jnp logits are
+    a few KB."""
     B, Lq, H, d = q.shape
     Lk = k.shape[1]
-    if Lq % 8 != 0 or d % 8 != 0 or d > 256:
+    if d % 8 != 0 or d > 256:
         if Lq * Lk > 512 * 512:
             key = (Lq, Lk, d)
             if key not in _fallback_warned:
                 _fallback_warned.add(key)
                 import warnings
                 warnings.warn(
-                    f"flash attention: unsupported shape Lq={Lq} Lk={Lk}"
-                    f" d={d} (need Lq%8==0, d%8==0, d<=256); falling back"
-                    f" to jnp attention, which materializes (B*H, Lq, Lk)"
-                    f" logits")
+                    f"flash attention: unsupported head dim for shape "
+                    f"Lq={Lq} Lk={Lk} d={d} (need d%8==0, d<=256); "
+                    f"falling back to jnp attention, which materializes "
+                    f"(B*H, Lq, Lk) logits")
         return None
+    if Lq % 8 != 0 and Lq < 128 and Lk < 128:
+        return None   # tiny odd level: jnp is harmless and launch-free
     return flash_attention(q, k, v)
