@@ -40,6 +40,8 @@ MEASURED_CEILING_TFLOPS = 71.5  # midpoint of the observed 67-76 band
 
 
 def _metric_name():
+    if os.environ.get("BENCH_VAL", "0") == "1":
+        return "seconds for the full DTU validation sweep"
     if os.environ.get("BENCH_INFER", "0") == "1":
         n = os.environ.get("BENCH_INFER_STEPS", "30")
         return (f"sec/image SD-1.5 NVS inference (768x576, {n} DPM++ "
@@ -530,6 +532,121 @@ def _bench_infer():
     }))
 
 
+def _bench_val():
+    """Full DTU validation-sweep throughput (VERDICT r3 item 7): the
+    reference quotes ~10 min for 1 scene x 34 views x 3 seeds
+    (reference README "Validation", inference_dtu.py:238-240). Measures
+    the whole conditioning+generation sweep: PromptManager precompute per
+    view + 30-step DPM++ CFG denoise at 768x576, views batched by
+    BENCH_VIEW_BATCH (default 1 = the shipped single-chip path)."""
+    import tempfile
+    import time as _time
+    from view_neti_tpu.config import RunConfig, decode
+    from view_neti_tpu.data import dtu as dtu_mod
+    from view_neti_tpu.inference.pipeline import (encode_uncond,
+                                                  generate_batch,
+                                                  make_denoise_fn)
+    from view_neti_tpu.inference.prompt_manager import PromptManager
+    from view_neti_tpu.schedulers.dpm_solver import DPMSolverSchedule
+    from view_neti_tpu.tokenizer import FallbackTokenizer
+    from view_neti_tpu.training import builder, inference_dtu
+    from view_neti_tpu.models.unet import sd15_unet_config
+    from view_neti_tpu.models.clip_text import sd15_text_config
+    from view_neti_tpu.models.vae import VAEConfig
+
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    if tiny:
+        arch = builder.tiny_arch()
+    else:
+        arch = builder.SDArch(
+            text=sd15_text_config(),
+            unet=sd15_unet_config(
+                use_flash_attention=os.environ.get("BENCH_FLASH",
+                                                   "1") == "1"),
+            vae=VAEConfig(), prediction_type="epsilon")
+    cfg = decode(RunConfig, {
+        "learnable_mode": 2,
+        "model": {"arch_view_net": 15, "arch_view_disable_tl": False,
+                  "word_embedding_dim": 32 if tiny else 768,
+                  "normalize_view_mapper_output": True,
+                  "output_bypass_alpha_view": 5.0, "pe_sigma_exp_key": 2},
+        "data": {"camera_representation": "dtu-12d", "dtu_subset": 6},
+        "optim": {"mixed_precision": "no" if tiny else "bf16"}})
+    rng_np = np.random.RandomState(0)
+    caldir = tempfile.mkdtemp()
+    for i in range(1, 65):
+        m = rng_np.randn(3, 4) * 100
+        with open(os.path.join(caldir, f"pos_{i:03d}.txt"), "w") as f:
+            f.write("\n".join(" ".join(f"{x:.4f}" for x in r) for r in m))
+    # all-64 camera vocabulary, evaluated on the 34-view protocol split
+    lookup_tok, _ = dtu_mod.dtu_generate_dset_cam_tokens_params(
+        calibration_dir=caldir)
+    cam_idxs, _, _ = inference_dtu.get_cam_idxs(6)
+    tok = FallbackTokenizer()
+    view_tokens = [lookup_tok[i] for i in sorted(lookup_tok)]
+    if tiny:
+        tok = FallbackTokenizer(base_vocab_size=512)
+        cam_idxs = cam_idxs[:3]
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    built = builder.build_models(cfg, tok, view_tokens, ["<skull>"],
+                                 arch=arch, compute_dtype=dtype,
+                                 calibration_dir=caldir)
+    frozen = built.frozen
+    schedule = DPMSolverSchedule()
+    n_steps = int(os.environ.get("BENCH_INFER_STEPS",
+                                 "2" if tiny else "30"))
+    ts = schedule.set_timesteps(n_steps)
+    pm = PromptManager(
+        tok, frozen.text, built.trainable, ts,
+        placeholder_view_token_ids=built.placeholder_view_token_ids,
+        placeholder_object_token_ids=built.placeholder_object_token_ids)
+    uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok)
+    seeds = [0] if tiny else [0, 1, 2]
+    H, W = (16, 16) if tiny else (576, 768)
+    vb = int(os.environ.get("BENCH_VIEW_BATCH", "1"))
+    denoise = make_denoise_fn(frozen.unet, None, schedule, n_steps, 7.5,
+                              dtype)
+
+    def sweep():
+        imgs = {}
+        for s in range(0, len(cam_idxs), vb):
+            chunk = cam_idxs[s:s + vb]
+            ctxs, ctxbs = [], []
+            for ci in chunk:
+                c, cb = pm.embed_prompt(
+                    f"{lookup_tok[ci]}. A photo of a <skull>")
+                ctxs.append(c)
+                ctxbs.append(cb)
+            out = generate_batch(
+                frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
+                schedule, jnp.concatenate(ctxs, axis=2),
+                jnp.concatenate(ctxbs, axis=2), uncond, H, W, seeds,
+                n_steps, 7.5, dtype, denoise_fn=denoise)
+            for j, ci in enumerate(chunk):
+                imgs[ci] = out[j]
+        return imgs
+
+    # warmup: compile PromptManager + denoise on the first chunk
+    _ = pm.embed_prompt(f"{lookup_tok[cam_idxs[0]]}. A photo of a <skull>")
+    t0 = _time.time()
+    imgs = sweep()
+    wall = _time.time() - t0
+    n_imgs = len(cam_idxs) * len(seeds)
+    assert len(imgs) == len(cam_idxs)
+    ref_wall = 600.0          # reference README: ~10 min for this sweep
+    print(json.dumps({
+        "metric": f"seconds for the full DTU validation sweep "
+                  f"({len(cam_idxs)} views x {len(seeds)} seeds, "
+                  f"{W}x{H}, {n_steps} DPM++ steps, CFG, "
+                  f"view_batch={vb})",
+        "value": round(wall, 1),
+        "unit": "seconds",
+        "vs_baseline": round(ref_wall / wall, 2),
+    }))
+    print(f"# {wall / n_imgs:.2f} s/img incl. conditioning precompute",
+          file=sys.stderr)
+
+
 def dtu_idxs_for_bench():
     from view_neti_tpu.data import dtu as dtu_mod
     return dtu_mod.dtu_get_train_idxs(6)
@@ -555,7 +672,9 @@ if __name__ == "__main__":
 
     _cancel_wall = _relay.hang_watchdog(_wall, _on_wall)
     try:
-        if os.environ.get("BENCH_INFER", "0") == "1":
+        if os.environ.get("BENCH_VAL", "0") == "1":
+            _bench_val()
+        elif os.environ.get("BENCH_INFER", "0") == "1":
             _bench_infer()
         elif os.environ.get("BENCH_E2E", "1") == "1":
             _bench_e2e()
