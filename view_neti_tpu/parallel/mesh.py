@@ -22,6 +22,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Guarded multi-host bring-up (SURVEY §2.3 / docs/MULTIHOST.md).
+
+    Single-process (the supported deployment) is a no-op returning False.
+    On a multi-host slice, call this BEFORE any jax op (or export
+    VIEW_NETI_COORDINATOR / VIEW_NETI_NUM_PROCESSES /
+    VIEW_NETI_PROCESS_ID and pass nothing); afterwards jax.devices()
+    spans all hosts and make_mesh() builds a global mesh. See
+    docs/MULTIHOST.md for why the shipped recipes never need this —
+    effective batch 9 saturates at 8 chips (one host).
+    """
+    import os
+    coordinator_address = coordinator_address or os.environ.get(
+        "VIEW_NETI_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("VIEW_NETI_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("VIEW_NETI_PROCESS_ID", "0"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def default_devices():
     """Devices of the *configured* platform. The axon sitecustomize
     force-registers the TPU backend in every process, so jax.devices()
