@@ -324,6 +324,10 @@ def _bench_e2e():
 
     steps = int(os.environ.get("BENCH_STEPS", "40"))
     mode = int(os.environ.get("BENCH_MODE", "2"))
+    # BENCH_TINY=1: miniature arch + images, so the FULL headline code
+    # path (Coach, timing monkeypatch, cost hook, fused windows) is
+    # smokable on CPU — real numbers still require the chip
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
     rng_np = np.random.RandomState(0)
     root = tempfile.mkdtemp()
     rect = os.path.join(root, "dtu", "Rectified")
@@ -336,14 +340,17 @@ def _bench_e2e():
         m = rng_np.randn(3, 4) * 100
         with open(os.path.join(cal, f"pos_{i:03d}.txt"), "w") as f:
             f.write("\n".join(" ".join(f"{x:.4f}" for x in r) for r in m))
+    src_h, src_w = (48, 64) if tiny else (1200, 1600)
     for s in scans:
         for i in dtu_idxs_for_bench():
             img = Image.fromarray(
-                rng_np.randint(0, 255, (1200, 1600, 3), np.uint8))
+                rng_np.randint(0, 255, (src_h, src_w, 3), np.uint8))
             img.save(os.path.join(rect, s, f"rect_{i + 1:03d}_3_r5000.png"))
 
     data_cfg = {"camera_representation": "dtu-12d", "dtu_subset": 6,
-                "dtu_preprocess_key": 1, "repeats": 100}
+                "dtu_preprocess_key": -1 if tiny else 1, "repeats": 100}
+    if tiny:
+        data_cfg["resolution"] = 16
     if mode == 2:
         data_cfg.update(train_data_dir=os.path.join(rect, scans[0]),
                         augmentation_key=7)
@@ -356,7 +363,7 @@ def _bench_e2e():
     cfg = decode(RunConfig, {
         "learnable_mode": mode,
         "model": {"arch_view_net": 15, "arch_view_disable_tl": False,
-                  "word_embedding_dim": 768,
+                  "word_embedding_dim": 32 if tiny else 768,
                   "pretrained_model_name_or_path":
                       "runwayml/stable-diffusion-v1-5",
                   "normalize_view_mapper_output": True,
@@ -369,7 +376,7 @@ def _bench_e2e():
         # round up to a multiple of the auto dispatch window (4) so a cold
         # run compiles only ONE scan program (the 1-core host pays ~2 min
         # per compile)
-        "optim": {"mixed_precision": "bf16",
+        "optim": {"mixed_precision": "no" if tiny else "bf16",
                   "fuse_accumulation":
                       os.environ.get("BENCH_FUSE", "1") == "1",
                   "steps_per_dispatch": int(os.environ.get("BENCH_SPD",
@@ -389,6 +396,10 @@ def _bench_e2e():
             out = fn(*a, **k)
             marks.append((time.perf_counter(), imgs_per_call()))
             return out
+        if hasattr(fn, "lower"):
+            # the Coach's VIEW_NETI_BENCH_COST hook calls .lower() on the
+            # resolved dispatch fn; forward it through the timing wrapper
+            wrapped.lower = fn.lower
         return wrapped
 
     def timed_resolve(self, w, stacked):
@@ -402,7 +413,9 @@ def _bench_e2e():
     coach_mod.Coach._resolve_multi = timed_resolve
     coach_mod.Coach._resolve_step = timed_step
     os.environ.setdefault("VIEW_NETI_BENCH_COST", "1")
-    coach = Coach(cfg, calibration_dir=cal)
+    from view_neti_tpu.training import builder
+    coach = Coach(cfg, arch=builder.tiny_arch() if tiny else None,
+                  calibration_dir=cal)
     # keep the Coach's own EMA rate visible for cross-checking
     rates = []
     orig_log = coach.logger.log_metrics
@@ -599,7 +612,8 @@ def _bench_val():
     pm = PromptManager(
         tok, frozen.text, built.trainable, ts,
         placeholder_view_token_ids=built.placeholder_view_token_ids,
-        placeholder_object_token_ids=built.placeholder_object_token_ids)
+        placeholder_object_token_ids=built.placeholder_object_token_ids,
+        dtype=dtype)   # the real validator passes coach.compute_dtype
     uncond = encode_uncond(frozen.text.clip, frozen.text.clip_vars, tok)
     seeds = [0] if tiny else [0, 1, 2]
     H, W = (16, 16) if tiny else (576, 768)
@@ -607,27 +621,35 @@ def _bench_val():
     denoise = make_denoise_fn(frozen.unet, None, schedule, n_steps, 7.5,
                               dtype)
 
+    def gen_chunk(chunk):
+        ctxs, ctxbs = [], []
+        for ci in chunk:
+            c, cb = pm.embed_prompt(
+                f"{lookup_tok[ci]}. A photo of a <skull>")
+            ctxs.append(c)
+            ctxbs.append(cb)
+        return generate_batch(
+            frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
+            schedule, jnp.concatenate(ctxs, axis=2),
+            jnp.concatenate(ctxbs, axis=2), uncond, H, W, seeds,
+            n_steps, 7.5, dtype, denoise_fn=denoise)
+
     def sweep():
         imgs = {}
         for s in range(0, len(cam_idxs), vb):
             chunk = cam_idxs[s:s + vb]
-            ctxs, ctxbs = [], []
-            for ci in chunk:
-                c, cb = pm.embed_prompt(
-                    f"{lookup_tok[ci]}. A photo of a <skull>")
-                ctxs.append(c)
-                ctxbs.append(cb)
-            out = generate_batch(
-                frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
-                schedule, jnp.concatenate(ctxs, axis=2),
-                jnp.concatenate(ctxbs, axis=2), uncond, H, W, seeds,
-                n_steps, 7.5, dtype, denoise_fn=denoise)
+            out = gen_chunk(chunk)
             for j, ci in enumerate(chunk):
                 imgs[ci] = out[j]
         return imgs
 
-    # warmup: compile PromptManager + denoise on the first chunk
-    _ = pm.embed_prompt(f"{lookup_tok[cam_idxs[0]]}. A photo of a <skull>")
+    # warmup: compile PromptManager + the denoise/decode jits for EVERY
+    # distinct chunk width (34 % vb != 0 leaves a remainder chunk with its
+    # own program) so the timed sweep measures runtime only, matching the
+    # reference's ~10-min runtime quote
+    widths = {vb, len(cam_idxs) % vb or vb}
+    for wdt in sorted(widths):
+        gen_chunk(cam_idxs[:wdt])
     t0 = _time.time()
     imgs = sweep()
     wall = _time.time() - t0

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--out", type=Path, default=REPO / "BENCH_MATRIX.json")
     args = ap.parse_args()
     names = (args.only.split(",") if args.only else list(CONFIGS))
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:   # fail fast, BEFORE the relay wait / earlier configs run
+        raise SystemExit(f"unknown config(s) {unknown}; "
+                         f"choose from {list(CONFIGS)}")
 
     from view_neti_tpu.utils import relay
     if relay.tpu_requested():

@@ -495,19 +495,28 @@ def _manifest_files(root: Path, extra: Tuple[str, ...] = ()) -> List[Path]:
     return files
 
 
+def _sha256_file(path: Path) -> str:
+    """Streaming sha256: SD checkpoints are multi-GB and this host has
+    constrained RAM — never read_bytes() a weight file whole."""
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def write_manifest(root: Path, out_path: Path,
                    extra: Tuple[str, ...] = ()) -> int:
     """Write 'sha256  bytes  relpath' lines for every weight file."""
-    import hashlib
     root = Path(root)
     lines = []
     for f in _manifest_files(root, extra):
-        h = hashlib.sha256(f.read_bytes()).hexdigest()
         try:
             rel = f.relative_to(root)
         except ValueError:
             rel = f
-        lines.append(f"{h}  {f.stat().st_size}  {rel}")
+        lines.append(f"{_sha256_file(f)}  {f.stat().st_size}  {rel}")
     Path(out_path).write_text("\n".join(lines) + "\n")
     return len(lines)
 
@@ -515,7 +524,6 @@ def write_manifest(root: Path, out_path: Path,
 def check_manifest(root: Path, manifest_path: Path) -> List[str]:
     """Verify files against a manifest; returns a list of problems
     (empty == everything matches)."""
-    import hashlib
     root = Path(root)
     problems = []
     for line in Path(manifest_path).read_text().splitlines():
@@ -529,6 +537,6 @@ def check_manifest(root: Path, manifest_path: Path) -> List[str]:
         if f.stat().st_size != int(want_size):
             problems.append(f"size mismatch: {rel}")
             continue
-        if hashlib.sha256(f.read_bytes()).hexdigest() != want_hash:
+        if _sha256_file(f) != want_hash:
             problems.append(f"sha256 mismatch: {rel}")
     return problems
