@@ -622,16 +622,11 @@ def _bench_val():
                               dtype)
 
     def gen_chunk(chunk):
-        ctxs, ctxbs = [], []
-        for ci in chunk:
-            c, cb = pm.embed_prompt(
-                f"{lookup_tok[ci]}. A photo of a <skull>")
-            ctxs.append(c)
-            ctxbs.append(cb)
+        ctx, ctx_b = pm.embed_prompts(
+            [f"{lookup_tok[ci]}. A photo of a <skull>" for ci in chunk])
         return generate_batch(
             frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
-            schedule, jnp.concatenate(ctxs, axis=2),
-            jnp.concatenate(ctxbs, axis=2), uncond, H, W, seeds,
+            schedule, ctx, ctx_b, uncond, H, W, seeds,
             n_steps, 7.5, dtype, denoise_fn=denoise)
 
     def sweep():

@@ -49,6 +49,29 @@ class TestPromptManager:
         ctx, _ = pm.embed_prompt("a photo of a dog")   # no placeholder
         assert np.isfinite(np.asarray(ctx)).all()
 
+    def test_embed_prompts_batches_exactly(self, built_mode0):
+        """r4: the batched precompute (one dispatch set for B prompts)
+        must equal B separate embed_prompt calls, prompt for prompt."""
+        cfg, tok, built = built_mode0
+        schedule = DPMSolverSchedule()
+        ts = schedule.set_timesteps(4)
+        pm = PromptManager(
+            tok, built.frozen.text, built.trainable, ts,
+            placeholder_object_token_ids=built.
+            placeholder_object_token_ids)
+        prompts = ["a photo of a <thing>", "a render of a <thing>",
+                   "a photo of a dog"]
+        ctx_b, ctxb_b = pm.embed_prompts(prompts)
+        assert ctx_b.shape == (4, 16, 3, 16, 32)
+        for i, p in enumerate(prompts):
+            c1, cb1 = pm.embed_prompt(p)
+            np.testing.assert_allclose(np.asarray(ctx_b[:, :, i]),
+                                       np.asarray(c1[:, :, 0]),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ctxb_b[:, :, i]),
+                                       np.asarray(cb1[:, :, 0]),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestPipeline:
     def test_generate_end_to_end(self, built_mode0):

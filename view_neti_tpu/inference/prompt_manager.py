@@ -76,8 +76,20 @@ class PromptManager:
 
         object_idx selects the mode-3 object-mapper bank slice (the scene
         whose token appears in the prompt)."""
+        return self.embed_prompts([text], truncation_idx=truncation_idx,
+                                  chunk=chunk, object_idx=object_idx)
+
+    def embed_prompts(self, texts: Sequence[str],
+                      truncation_idx: Optional[int] = None,
+                      chunk: int = 10, object_idx: int = 0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched precompute: (context, context_bypass), each
+        (T, 16, B, L, D) for B prompts, in ceil(T/chunk) dispatches TOTAL
+        (r4: the DTU validation sweep was paying per-VIEW dispatch sets —
+        34 views x 3 chunks x ~31 ms tunnel round trips of pure latency;
+        one batched forward folds the view axis into the text batch)."""
         ids = self.tokenizer(
-            text, padding="max_length", truncation=True,
+            list(texts), padding="max_length", truncation=True,
             max_length=self.text_models.clip_vars["params"]
             ["position_embedding"].shape[0]).input_ids
         ids = np.asarray(ids, np.int32)

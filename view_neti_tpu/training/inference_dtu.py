@@ -368,15 +368,12 @@ def dtu_generate_camidxs_to_preds(
     camidx_to_token = {i: t for i, t in lookup_tok.items()}
     for start in range(0, len(cam_idxs), vb):
         chunk = list(cam_idxs[start:start + vb])
-        ctxs, ctxbs = [], []
-        for cam_idx in chunk:
-            prompt = (f"{camidx_to_token[cam_idx]}. "
-                      f"A photo of a {object_token}")
-            c, cb = pm.embed_prompt(prompt, object_idx=object_idx)
-            ctxs.append(c)
-            ctxbs.append(cb)
-        contexts = jnp.concatenate(ctxs, axis=2)       # (T, 16, C, L, D)
-        contexts_b = jnp.concatenate(ctxbs, axis=2)
+        prompts = [f"{camidx_to_token[ci]}. A photo of a {object_token}"
+                   for ci in chunk]
+        # one batched conditioning precompute per chunk (r4): the view
+        # axis rides the text batch, (T, 16, C, L, D)
+        contexts, contexts_b = pm.embed_prompts(prompts,
+                                                object_idx=object_idx)
         full = len(chunk) == vb
         imgs = generate_batch(
             frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
