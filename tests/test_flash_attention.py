@@ -74,6 +74,25 @@ def test_backward_padded_kv():
                                    atol=5e-4, rtol=5e-4, err_msg=name)
 
 
+def test_backward_padded_q_odd_length():
+    """r4 gate widening sends big odd-Lq attentions through the kernel in
+    TRAINING too; the q-pad rows must contribute exactly zero to dk/dv
+    and dq must match the jnp reference after the slice."""
+    q, k, v = _rand_qkv(Lq=300, Lk=300, d=32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_jnp(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
 class TestProductionShapes:
     """The real inference protocol runs 768x576 (reference
     inference_dtu.py:238-240) -> 96x72 latents -> Lq=6912 self-attention and
