@@ -19,9 +19,10 @@ from view_neti_tpu import config as config_lib  # noqa: E402
 from view_neti_tpu.config import RunConfig, decode  # noqa: E402
 from view_neti_tpu.models.neti_mapper import NeTIMapper  # noqa: E402
 from view_neti_tpu.torch_interop import (  # noqa: E402
-    _install_unpickle_shims, convert_learned_embeds,
-    convert_mapper_checkpoint, flax_from_torch_state,
-    import_torch_artifacts)
+    _REF_CFG_FIELDS, _REF_CFG_TOP, _install_unpickle_shims,
+    convert_learned_embeds, convert_mapper_checkpoint,
+    export_torch_artifacts, flax_from_torch_state, import_torch_artifacts,
+    load_torch_checkpoint)
 from view_neti_tpu.utils.types import PESigmas  # noqa: E402
 
 pytestmark = pytest.mark.quick
@@ -30,9 +31,17 @@ PE_DIM = 64
 WORD_DIM = 32
 
 
-def _shim_encoder(nfeats, sigmas, seed=0):
+def _shim_encoder(nfeats, sigmas, seed=0, registered=False):
     """An instance of the shim FourierPositionalEncodingNDims carrying a
-    reference-construction w (positional_encoding.py:164-171)."""
+    reference-construction w (positional_encoding.py:164-171).
+
+    By default ``w`` is a PLAIN tensor attribute — the state a CUDA-saved
+    reference checkpoint carries, because ``nn.Parameter(...).cuda()``
+    (positional_encoding.py:171) returns a plain Tensor, demoting ``w``
+    out of the module's registered parameters. ``registered=True`` models
+    a CPU-saved checkpoint where ``w`` stays a Parameter (and so appears
+    in the state_dict as ``encoder.w``).
+    """
     _install_unpickle_shims()
     import models.positional_encoding as ref_pe
     enc = ref_pe.FourierPositionalEncodingNDims()
@@ -40,19 +49,26 @@ def _shim_encoder(nfeats, sigmas, seed=0):
     w = torch.randn(PE_DIM // 2, nfeats)
     for i, s in enumerate(sigmas):
         w[:, i] *= s
-    enc.w = torch.nn.Parameter(w)
+    enc.sigmas = list(sigmas)
+    enc.dim = PE_DIM
+    enc.normalize = False
+    enc.w = torch.nn.Parameter(w) if registered \
+        else torch.nn.Parameter(w).to("cpu", copy=True)
+    assert registered == ("w" in dict(enc.named_parameters()))
     return enc
 
 
 class _TorchRefMapper(torch.nn.Module):
     """Structural mirror of the reference arch-15 mapper: submodule names
     (encoder/net/output_layer) produce the exact reference state_dict
-    keys (reference neti_mapper.py:513-518, 601-608)."""
+    keys (reference neti_mapper.py:513-518, 601-608) — which on the
+    CUDA-trained published artifacts do NOT include ``encoder.w``."""
 
-    def __init__(self, nfeats, out_dim, h=64, seed=0, sigmas=None):
+    def __init__(self, nfeats, out_dim, h=64, seed=0, sigmas=None,
+                 registered_w=False):
         super().__init__()
         self.encoder = _shim_encoder(nfeats, sigmas or [1.0] * nfeats,
-                                     seed=seed)
+                                     seed=seed, registered=registered_w)
         torch.manual_seed(seed + 1)
         self.net = torch.nn.Sequential(
             torch.nn.Linear(PE_DIM, h), torch.nn.LayerNorm(h),
@@ -105,7 +121,11 @@ class TestStateDictConversion:
     def test_arch15_view_forward_matches_torch(self):
         sigmas = [0.03, 2.0] + [0.5] * 12
         mirror = _TorchRefMapper(14, WORD_DIM * 2, seed=3, sigmas=sigmas)
-        params, constants = flax_from_torch_state(mirror.state_dict())
+        # CUDA-demoted reality: the freqs are NOT in the state_dict and
+        # must come from the pickled encoder module.
+        assert "encoder.w" not in mirror.state_dict()
+        params, constants = flax_from_torch_state(mirror.state_dict(),
+                                                  encoder=mirror.encoder)
         assert "fourier_w" in constants
 
         m = NeTIMapper(embedding_type="view", output_dim=WORD_DIM,
@@ -131,7 +151,8 @@ class TestStateDictConversion:
     def test_arch15_object_forward_matches_torch(self):
         mirror = _TorchRefMapper(2, WORD_DIM * 2, h=128, seed=5,
                                  sigmas=[0.03, 2.0])
-        params, constants = flax_from_torch_state(mirror.state_dict())
+        params, constants = flax_from_torch_state(mirror.state_dict(),
+                                                  encoder=mirror.encoder)
         m = NeTIMapper(embedding_type="object", output_dim=WORD_DIM,
                        arch_view_net=15, arch_mlp_hidden_dims=128,
                        use_nested_dropout=False,
@@ -186,6 +207,45 @@ class TestStateDictConversion:
         assert np.isfinite(np.asarray(out.word_embedding)).all()
 
 
+class TestFrequencyRecovery:
+    """The three sources of the Fourier frequency matrix, in preference
+    order: state_dict (CPU-saved), pickled encoder __dict__ (CUDA-saved —
+    all published artifacts), deterministic seed-0 replay
+    (reference positional_encoding.py:164-171, neti_mapper.py:517-518)."""
+
+    def test_registered_w_prefers_state_dict(self):
+        mirror = _TorchRefMapper(2, WORD_DIM * 2, seed=4,
+                                 sigmas=[0.03, 2.0], registered_w=True)
+        sd = mirror.state_dict()
+        assert "encoder.w" in sd
+        _, constants = flax_from_torch_state(sd)   # no encoder needed
+        np.testing.assert_array_equal(constants["fourier_w"],
+                                      mirror.encoder.w.detach().numpy())
+
+    def test_seed0_replay_when_pickled_w_missing(self):
+        """An encoder whose __dict__ lost ``w`` still converts: the
+        importer replays torch.manual_seed(0) + randn*sigmas exactly as
+        the reference constructor would on reload."""
+        sigmas = [0.03, 2.0] + [0.5] * 12
+        mirror = _TorchRefMapper(14, WORD_DIM * 2, seed=0, sigmas=sigmas)
+        expect = mirror.encoder.w.detach().numpy().copy()
+        del mirror.encoder.w
+        assert getattr(mirror.encoder, "w", None) is None
+        _, constants = flax_from_torch_state(mirror.state_dict(),
+                                             encoder=mirror.encoder)
+        np.testing.assert_array_equal(constants["fourier_w"], expect)
+
+    def test_arch15_without_any_source_raises(self, tmp_path):
+        mirror = _TorchRefMapper(14, WORD_DIM * 2, seed=1,
+                                 sigmas=[0.03, 2.0] + [0.5] * 12)
+        del mirror.encoder.w
+        del mirror.encoder.sigmas
+        pt = tmp_path / "mapper-steps-1_view.pt"
+        _save_ref_view_ckpt(pt, mirror)
+        with pytest.raises(ValueError, match="Fourier frequency"):
+            convert_mapper_checkpoint(pt, "view")
+
+
 class TestCheckpointImport:
     def test_view_ckpt_roundtrip(self, tmp_path):
         from view_neti_tpu.checkpoint import CheckpointHandler
@@ -238,6 +298,140 @@ class TestCheckpointImport:
                                    rows["<skull>"].numpy(), rtol=1e-6)
 
 
+class TestTorchExport:
+    """Export direction: msgpack -> reference torch formats
+    (reference checkpoint_handler.py:40-97 shapes, loadable by the
+    reference's strict load_mapper, checkpoint_handler.py:210)."""
+
+    SIGMAS = PESigmas(sigma_t=0.03, sigma_l=2.0, sigma_dtu12=0.5)
+
+    def _native_view_ckpt(self, tmp_path):
+        from view_neti_tpu.checkpoint import CheckpointHandler
+        m = NeTIMapper(embedding_type="view", output_dim=WORD_DIM,
+                       arch_view_net=15, arch_view_disable_tl=False,
+                       use_nested_dropout=False, num_view_cond_dims=12,
+                       pe_sigmas=self.SIGMAS)
+        variables = m.init(jax.random.PRNGKey(7), jnp.zeros((1,)),
+                           jnp.zeros((1,)),
+                           view_params=jnp.zeros((1, 12)))
+        cfg = decode(RunConfig, {
+            "learnable_mode": 2,
+            "model": {"arch_view_net": 15, "word_embedding_dim": WORD_DIM,
+                      "arch_view_disable_tl": False,
+                      "pe_sigmas": {"sigma_t": 0.03, "sigma_l": 2.0,
+                                    "sigma_dtu12": 0.5}},
+            "data": {"camera_representation": "dtu-12d", "dtu_subset": 6}})
+        handler = CheckpointHandler(cfg, ["<view_x>"], [500], [], [],
+                                    tmp_path)
+        paths = handler.save_mapper(
+            {"view": variables["params"]}, None,
+            variables["constants"], None, "mapper-steps-3000.msgpack")
+        return paths[0], variables
+
+    def test_view_export_is_reference_shaped(self, tmp_path):
+        msgpack_path, variables = self._native_view_ckpt(tmp_path)
+        written = export_torch_artifacts(tmp_path / "t",
+                                         view_path=msgpack_path)
+        assert written[0].name == "mapper-steps-3000_view.pt"
+        ckpt = load_torch_checkpoint(written[0])
+
+        # reference save_mapper view shape (checkpoint_handler.py:80-97)
+        assert list(ckpt["mappers"]) == ["dummy_key"]
+        entry = ckpt["mappers"]["dummy_key"]
+        assert entry["placeholder_object_token"] == "dummy"
+
+        # the state_dict strict-loads into a reference-keyed module
+        # (encoder.w must NOT be a key: the reference registers none)
+        assert "encoder.w" not in entry["state_dict"]
+        mirror = _TorchRefMapper(14, WORD_DIM * 2, seed=9,
+                                 sigmas=[0.03, 2.0] + [0.5] * 12)
+        mirror.load_state_dict(entry["state_dict"], strict=True)
+
+        # pickled encoder carries the freqs + construction attrs
+        enc = entry["encoder"]
+        np.testing.assert_array_equal(
+            enc.w.numpy(),
+            np.asarray(variables["constants"]["fourier_w"], np.float32))
+        assert enc.dim == 2 * variables["constants"]["fourier_w"].shape[0]
+        assert enc.sigmas == [0.03, 2.0] + [0.5] * 12
+
+        # cfg filtered to the reference's exact field surface
+        assert set(ckpt["cfg"]) <= _REF_CFG_TOP
+        for sect, allowed in _REF_CFG_FIELDS.items():
+            assert set(ckpt["cfg"][sect]) <= allowed, sect
+        assert "parallel" not in ckpt["cfg"]
+
+    def test_view_export_reimports_bit_exact(self, tmp_path):
+        msgpack_path, variables = self._native_view_ckpt(tmp_path)
+        written = export_torch_artifacts(tmp_path / "t",
+                                         view_path=msgpack_path)
+        back = convert_mapper_checkpoint(written[0], "view")
+        entry = back["mappers"]["view"]
+        expect = jax.device_get(variables["params"])
+        for name in ("net_dense0", "net_ln0", "net_dense1", "net_ln1",
+                     "output_layer"):
+            for leaf in expect[name]:
+                np.testing.assert_array_equal(
+                    np.asarray(entry["params"][name][leaf]),
+                    np.asarray(expect[name][leaf], np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(entry["constants"]["fourier_w"]),
+            np.asarray(variables["constants"]["fourier_w"], np.float32))
+
+    def test_object_export_roundtrip(self, tmp_path):
+        from view_neti_tpu.checkpoint import CheckpointHandler
+        m = NeTIMapper(embedding_type="object", output_dim=WORD_DIM,
+                       arch_view_net=15, use_nested_dropout=False,
+                       pe_sigmas=self.SIGMAS)
+        v1 = m.init(jax.random.PRNGKey(1), jnp.zeros((1,)), jnp.zeros((1,)))
+        v2 = m.init(jax.random.PRNGKey(2), jnp.zeros((1,)), jnp.zeros((1,)))
+        stacked = jax.tree_util.tree_map(
+            lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+            v1["params"], v2["params"])
+        cfg = decode(RunConfig, {
+            "learnable_mode": 3,
+            "model": {"arch_view_net": 15, "word_embedding_dim": WORD_DIM,
+                      "arch_view_disable_tl": False},
+            "data": {"camera_representation": "dtu-12d", "dtu_subset": 6,
+                     "placeholder_object_tokens": ["<skull>", "<house>"],
+                     "super_category_object_tokens": ["object", "object"]}})
+        handler = CheckpointHandler(cfg, [], [], ["<skull>", "<house>"],
+                                    [501, 502], tmp_path)
+        paths = handler.save_mapper({"object": stacked},
+                                    v1["constants"], None, None,
+                                    "mapper-steps-900.msgpack")
+        written = export_torch_artifacts(tmp_path / "t",
+                                         object_path=paths[0])
+        ckpt = load_torch_checkpoint(written[0])
+        # int keys (reference save keys by tokenizer id); entries carry
+        # the real token strings the reference's load actually uses
+        assert all(isinstance(k, int) for k in ckpt["mappers"])
+        toks = {e["placeholder_object_token"]
+                for e in ckpt["mappers"].values()}
+        assert toks == {"<skull>", "<house>"}
+
+        back = convert_mapper_checkpoint(written[0], "object")
+        assert set(back["mappers"]) == {"<skull>", "<house>"}
+        np.testing.assert_array_equal(
+            np.asarray(back["mappers"]["<house>"]["params"]
+                       ["output_layer"]["bias"]),
+            np.asarray(v2["params"]["output_layer"]["bias"], np.float32))
+
+    def test_learned_embeds_export_roundtrip(self, tmp_path):
+        from flax import serialization
+        rows = {"<view_x>": np.random.RandomState(0)
+                .randn(WORD_DIM).astype(np.float32),
+                "<skull>": np.random.RandomState(1)
+                .randn(WORD_DIM).astype(np.float32)}
+        src = tmp_path / "learned_embeds-steps-3000.msgpack"
+        src.write_bytes(serialization.msgpack_serialize(rows))
+        written = export_torch_artifacts(tmp_path / "t", embeds_path=src)
+        assert written[0].name == "learned_embeds-steps-3000.bin"
+        back = convert_learned_embeds(written[0])
+        for t in rows:
+            np.testing.assert_array_equal(back[t], rows[t])
+
+
 class TestMode5Consumption:
     def test_coach_ingests_raw_pt_bit_exact(self, tmp_path):
         """A mode-5 Coach pointed at the torch .pt directly must load the
@@ -282,7 +476,7 @@ class TestMode5Consumption:
         coach = Coach(cfg, arch=builder.tiny_arch(),
                       calibration_dir=str(cal))
         expect_params, expect_consts = flax_from_torch_state(
-            mirror.state_dict())
+            mirror.state_dict(), encoder=mirror.encoder)
         got = jax.device_get(coach.built.trainable["view"])
         for name in ("net_dense0", "net_ln0", "net_dense1", "net_ln1",
                      "output_layer"):
