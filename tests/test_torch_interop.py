@@ -431,6 +431,55 @@ class TestTorchExport:
         for t in rows:
             np.testing.assert_array_equal(back[t], rows[t])
 
+    def test_legacy_pe1_state_roundtrip(self):
+        """Legacy PE-1 object mapper: torch sd -> flax -> torch sd is the
+        identity on the reference's registered keys (encoder.w stays out
+        of the state_dict, as in the reference — it rides the pickled
+        encoder; reference neti_mapper.py:96-108)."""
+        from view_neti_tpu.torch_interop import torch_state_from_flax
+        torch.manual_seed(2)
+        sd = {
+            "input_layer.weight": torch.randn(160, 2048),
+            "input_layer.bias": torch.randn(160),
+            "net.0.weight": torch.randn(128, 160),
+            "net.0.bias": torch.randn(128),
+            "net.1.weight": torch.randn(128),
+            "net.1.bias": torch.randn(128),
+            "net.3.weight": torch.randn(128, 128),
+            "net.3.bias": torch.randn(128),
+            "net.4.weight": torch.randn(128),
+            "net.4.bias": torch.randn(128),
+            "output_layer.0.weight": torch.randn(WORD_DIM * 2, 128),
+            "output_layer.0.bias": torch.randn(WORD_DIM * 2),
+        }
+        params, _ = flax_from_torch_state(dict(sd))
+        back = torch_state_from_flax(params)
+        assert set(back) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k].numpy(), sd[k].numpy())
+
+    def test_original_ti_state_roundtrip(self):
+        from view_neti_tpu.torch_interop import torch_state_from_flax
+        sd = {"ti_embeddings": torch.randn(4, WORD_DIM)}
+        params, _ = flax_from_torch_state(dict(sd))
+        back = torch_state_from_flax(params)
+        assert set(back) == {"ti_embeddings"}
+        np.testing.assert_array_equal(back["ti_embeddings"].numpy(),
+                                      sd["ti_embeddings"].numpy())
+
+    def test_make_torch_encoder_neti_w(self):
+        """Legacy NeTI anchor encoder export carries w + construction
+        attrs (reference positional_encoding.py:10-41)."""
+        from view_neti_tpu.torch_interop import make_torch_encoder
+        cfg = decode(RunConfig, {
+            "model": {"pe_sigmas": {"sigma_t": 0.03, "sigma_l": 2.0}}})
+        w = np.random.RandomState(3).randn(1024, 2).astype(np.float32)
+        enc = make_torch_encoder({"neti_w": w}, cfg)
+        assert type(enc).__name__ == "NeTIPositionalEncoding"
+        np.testing.assert_array_equal(enc.w.numpy(), w)
+        assert enc.sigma_t == 0.03 and enc.sigma_l == 2.0
+        assert enc.num_w == 1024
+
 
 class TestMode5Consumption:
     def test_coach_ingests_raw_pt_bit_exact(self, tmp_path):
