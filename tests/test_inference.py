@@ -59,7 +59,10 @@ class TestPromptManager:
             tok, built.frozen.text, built.trainable, ts,
             placeholder_object_token_ids=built.
             placeholder_object_token_ids)
-        prompts = ["a photo of a <thing>", "a render of a <thing>",
+        # placeholder at DIFFERENT token positions across the batch (the
+        # one-hot overwrite must locate it per row), plus one row with no
+        # placeholder at all
+        prompts = ["a photo of a <thing>", "<thing> in a forest",
                    "a photo of a dog"]
         ctx_b, ctxb_b = pm.embed_prompts(prompts)
         assert ctx_b.shape == (4, 16, 3, 16, 32)
