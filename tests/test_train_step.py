@@ -192,6 +192,21 @@ class TestTrainStep:
             built.trainable["object"], trainable["object"])
         assert sum(jax.tree_util.tree_leaves(diff_obj)) > 0
 
+    def test_mode4_both_update(self):
+        """Mode 4: the (pretrained-initialized) view mapper KEEPS training
+        alongside the object mapper — unlike mode 5, where it is frozen
+        (reference coach.py:667,745: view params enter the optimizer in
+        modes 1/2/3/4 only)."""
+        cfg, built, trainable, _, _ = self._run_steps(4, n_view=3)
+        diff_view = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()),
+            built.trainable["view"], trainable["view"])
+        assert sum(jax.tree_util.tree_leaves(diff_view)) > 0
+        diff_obj = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()),
+            built.trainable["object"], trainable["object"])
+        assert sum(jax.tree_util.tree_leaves(diff_obj)) > 0
+
     def test_mode3_only_selected_scene_updates(self):
         cfg, built, trainable, _, _ = self._run_steps(
             3, n_obj=3, n_view=3, n_steps=2, object_idxs=[1, 1])
