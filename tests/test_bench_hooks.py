@@ -34,6 +34,37 @@ def test_dispatch_cost_analysis_through_coach(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
+def test_cost_analysis_scales_with_superstep_window(tmp_path, monkeypatch):
+    """XLA's cost model counts a lax.scan body once regardless of trip
+    count, so a W-step superstep dispatch must report ~W x the body flops
+    (i.e. the same flops PER IMAGE as a single-step dispatch) or bench.py's
+    E2E MFU under-reads by the window factor (observed 4x on-chip)."""
+    from view_neti_tpu.training.coach import Coach
+    monkeypatch.setenv("VIEW_NETI_BENCH_COST", "1")
+
+    def run(steps_per_dispatch, max_steps, out):
+        cfg = decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 2,
+                     "resolution": 16},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "log": {"exp_dir": str(out), "save_dataset_images": False},
+            "eval": {"validation_prompts": None},
+            "optim": {"max_train_steps": max_steps, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 1,
+                      "steps_per_dispatch": steps_per_dispatch}})
+        coach = Coach(cfg, arch=builder.tiny_arch())
+        coach.train()
+        flops, imgs = coach.dispatch_cost_analysis()
+        return flops / imgs
+
+    per_img_single = run(1, 2, tmp_path / "w1")
+    per_img_super = run(2, 4, tmp_path / "w2")
+    # Same program per micro-step; only once-counted epilogues differ.
+    assert per_img_super == pytest.approx(per_img_single, rel=0.3)
+
+
+@pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
 def test_cost_hook_off_by_default(tmp_path):
     from view_neti_tpu.training.coach import Coach
     cfg = decode(RunConfig, {

@@ -190,6 +190,7 @@ class Coach:
         self._cost_hook = os.environ.get("VIEW_NETI_BENCH_COST") == "1"
         self._dispatch_lowered = None
         self._dispatch_imgs = 0
+        self._dispatch_scan_steps = 1
         # mesh resolution: explicit arg > cfg.parallel.use_mesh > auto.
         # Auto engages only on a real accelerator backend (virtual CPU
         # device farms — tests — must opt in explicitly).
@@ -445,6 +446,7 @@ class Coach:
                         trainable, opt_state, self.built.frozen, stacked,
                         keys)
                     self._dispatch_imgs = self.micro_batch_size * w
+                    self._dispatch_scan_steps = w
                 trainable, opt_state, metrics = multi(
                     trainable, opt_state, self.built.frozen, stacked, keys)
                 micro_step += w
@@ -458,6 +460,7 @@ class Coach:
                     self._dispatch_lowered = step_fn.lower(
                         trainable, opt_state, self.built.frozen, batch, sub)
                     self._dispatch_imgs = self.micro_batch_size
+                    self._dispatch_scan_steps = 1
                 trainable, opt_state, metrics = step_fn(
                     trainable, opt_state, self.built.frozen, batch, sub)
                 micro_step += 1
@@ -736,7 +739,14 @@ class Coach:
         cost model — or None. Requires VIEW_NETI_BENCH_COST=1 at
         construction (see _cost_hook). The .compile() here is a persistent
         compile-cache hit: the identical program was already compiled by
-        the training loop's first dispatch."""
+        the training loop's first dispatch.
+
+        XLA's cost model counts a while/scan BODY exactly once regardless
+        of trip count (verified empirically: an 8-iteration lax.scan
+        reports 1/8th the flops of the unrolled program), so superstep
+        dispatches must scale the reported flops by the scanned
+        micro-step count or the E2E MFU under-reads by the window factor
+        (observed 4x at steps_per_dispatch=4 on-chip)."""
         if self._dispatch_lowered is None:
             return None
         try:
@@ -749,7 +759,7 @@ class Coach:
             return None
         if flops <= 0:
             return None
-        return flops, self._dispatch_imgs
+        return flops * self._dispatch_scan_steps, self._dispatch_imgs
 
     def _maybe_resume(self) -> None:
         """log.resume_from: restore trainable params, optimizer state, PE
