@@ -118,16 +118,20 @@ def generate(unet, unet_vars, vae, vae_vars, schedule: DPMSolverSchedule,
         for s in seeds])
     latents = denoise_fn(lat0, unet_vars, context, context_bypass,
                          uncond_ctx)
-    imgs = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))
-    imgs = np.asarray(jnp.clip(
-        imgs.astype(jnp.float32) / 2 + 0.5, 0, 1))
-    return (imgs * 255).round().astype(np.uint8)
+    return np.asarray(_decode_jit(vae, vae_vars,
+                                  latents.astype(compute_dtype)))
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _decode_jit(vae, vae_vars, latents):
+    """VAE decode + uint8 quantization ON DEVICE: the reference fetches
+    float images and converts on host (sd_pipeline_call.py:120-130); over
+    the ~25 MB/s tunnel the f32 fetch alone was ~0.21 s/image at 768x576,
+    so only the final uint8 (1 byte/px) crosses to host."""
     from view_neti_tpu.models.vae import AutoencoderKL
-    return vae.apply(vae_vars, latents, method=AutoencoderKL.decode)
+    img = vae.apply(vae_vars, latents, method=AutoencoderKL.decode)
+    img = jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0, 1)
+    return jnp.round(img * 255).astype(jnp.uint8)
 
 
 def generate_batch(unet, unet_vars, vae, vae_vars,
@@ -169,9 +173,8 @@ def generate_batch(unet, unet_vars, vae, vae_vars,
         lat0 = jax.device_put(lat0, NamedSharding(mesh, P("dp")))
     latents = denoise_fn(lat0, unet_vars, contexts, contexts_bypass,
                          uncond_ctx)
-    imgs = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))
-    imgs = np.asarray(jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0, 1))
-    imgs = (imgs * 255).round().astype(np.uint8)
+    imgs = np.asarray(_decode_jit(vae, vae_vars,
+                                  latents.astype(compute_dtype)))
     return imgs.reshape(C, S, *imgs.shape[1:])
 
 
