@@ -98,6 +98,24 @@ class TestPipeline:
         # different seeds -> different images
         assert not np.array_equal(imgs[0], imgs[1])
 
+    def test_device_uint8_matches_host_quantization(self, built_mode0):
+        """_decode_jit quantizes to uint8 ON DEVICE (r4: only 1 byte/px
+        crosses the tunnel); must be bit-identical to the former host-side
+        np conversion (both jnp.round and np.round are half-to-even)."""
+        cfg, tok, built = built_mode0
+        frozen = built.frozen
+        from view_neti_tpu.inference.pipeline import _decode_jit
+        from view_neti_tpu.models.vae import AutoencoderKL
+        lat = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 2, 4),
+                                jnp.float32)
+        dev = np.asarray(_decode_jit(frozen.vae, frozen.vae_vars, lat))
+        assert dev.dtype == np.uint8
+        f32 = np.asarray(frozen.vae.apply(
+            frozen.vae_vars, lat, method=AutoencoderKL.decode)
+            .astype(jnp.float32))
+        host = np.round(np.clip(f32 / 2 + 0.5, 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(dev, host)
+
     def test_seed_determinism(self, built_mode0):
         cfg, tok, built = built_mode0
         frozen = built.frozen
