@@ -128,6 +128,37 @@ class TestReloadInvariantIsLoud:
         assert not any("WARNING" in m for m in msgs)
 
 
+class TestViewBatchedSweep:
+    def test_view_batch_invariance(self, trained_dtu_coach, dtu_root,
+                                   monkeypatch):
+        """Chunking the view sweep (incl. the remainder chunk, which
+        rebuilds its own denoise fn) must reproduce the vb=1 predictions
+        to within one uint8 level — 3 cams at vb=2 exercises chunks
+        [2, 1]. Batch width may flip XLA's conv algorithm choice by
+        ~1 ULP, which can cross a quantization boundary on knife-edge
+        pixels (observed: 1/9216 on CPU); anything beyond that is a
+        conditioning/seed routing bug. The single-chip default is
+        measured fastest on-chip at vb=4 (PARITY.md r4: 161 -> 141 s
+        for the 34-view sweep)."""
+        from view_neti_tpu.training import inference_dtu
+        coach = trained_dtu_coach
+        cam_idxs, _, _ = inference_dtu.get_cam_idxs(6)
+        cams = cam_idxs[:3]
+        outs = {}
+        for vb in (1, 2):
+            monkeypatch.setenv("VIEW_NETI_VIEW_BATCH", str(vb))
+            outs[vb] = inference_dtu.dtu_generate_camidxs_to_preds(
+                coach, coach.trainable, cams, step=1,
+                num_denoising_steps=1, seeds=[0],
+                calibration_dir=str(dtu_root / "Calibration" / "cal18"),
+                on_missing_ckpt="raise")
+        for ci in cams:
+            diff = np.abs(outs[1][ci].astype(np.int16)
+                          - outs[2][ci].astype(np.int16))
+            assert diff.max() <= 1, diff.max()
+            assert (diff != 0).mean() < 0.001, (diff != 0).mean()
+
+
 class TestValidationBundle:
     def test_infer_dtu_persists_rescoreable_bundle(self, trained_dtu_coach,
                                                    dtu_root):
