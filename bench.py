@@ -562,6 +562,10 @@ def _bench_infer():
         (len(seeds), H // scale, W // scale, 4), jnp.float32)
     dec_s = jax.ShapeDtypeStruct(
         (len(seeds), H // scale, W // scale, 4), jnp.bfloat16)
+    # XLA's cost model counts the fori_loop denoise body ONCE regardless
+    # of trip count (same pitfall as the training superstep scan,
+    # tests/test_bench_hooks.py) — scale by the step count; the
+    # outside-loop setup it also prices once is negligible.
     fl = _aot_flops(denoise, lat_s, frozen.unet_vars, ctx, ctx_b, uncond)
     fl_dec = _aot_flops(_decode_jit, frozen.vae, frozen.vae_vars, dec_s)
     record = {
@@ -572,8 +576,8 @@ def _bench_infer():
         "vs_baseline": round(6.0 / dt, 3),
     }
     if fl:
-        record.update(_mfu_fields(fl + (fl_dec or 0.0), len(seeds),
-                                  1.0 / dt))
+        record.update(_mfu_fields(fl * n_steps + (fl_dec or 0.0),
+                                  len(seeds), 1.0 / dt))
     print(json.dumps(record))
 
 
@@ -708,7 +712,8 @@ def _bench_val():
         if fl is None:
             total_flops = None
             break
-        total_flops += n * (fl + (fl_dec or 0.0))
+        # cost model prices the fori_loop body once -> scale by steps
+        total_flops += n * (fl * n_steps + (fl_dec or 0.0))
     record = {
         "metric": f"seconds for the full DTU validation sweep "
                   f"({len(cam_idxs)} views x {len(seeds)} seeds, "
