@@ -698,6 +698,7 @@ def _bench_val():
     if len(cam_idxs) % vb:
         rem = len(cam_idxs) % vb
         n_calls[rem] = n_calls.get(rem, 0) + 1
+    n_calls = {w: n for w, n in n_calls.items() if n}  # vb > #views
     total_flops = 0.0
     for wdt, n in n_calls.items():
         ctx, ctx_b = ctx_by_width[wdt]
