@@ -236,3 +236,48 @@ def test_padded_q_matches_reference():
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=3e-5)
+
+
+class TestTorchSDPAGradGolden:
+    """Gradient golden vs torch's scaled_dot_product_attention autograd.
+
+    The existing backward tests compare the Pallas custom VJP against the
+    jnp reference — internal consistency only. A shared wrong assumption
+    between the kernel and its jnp twin (softmax scale placement, padded-
+    row handling, recompute-vs-residual bookkeeping) would pass those but
+    diverge from the reference's torch attention backward (reference
+    models/xti_attention_processor.py:44-50 runs the same math through
+    torch autograd). This pins q/k/v grads against an INDEPENDENT
+    implementation at the shipped SD1.5 head dim 40, with a fixed random
+    upstream cotangent."""
+
+    @pytest.mark.parametrize("Lq,Lk", [
+        (3072, 77),      # training cross-attn (48x64 latents, 77 keys)
+        (3072, 3072),    # training self-attn, head dim 40
+    ])
+    def test_qkv_grads_match_torch_sdpa(self, Lq, Lk):
+        torch = pytest.importorskip("torch")
+        d = 40
+        q, k, v = _rand_qkv(Lq=Lq, Lk=Lk, H=1, d=d, seed=9)
+        dy = jax.random.normal(jax.random.PRNGKey(10),
+                               (1, Lq, 1, d), jnp.float32)
+
+        def loss(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v) * dy)
+
+        g_flash = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        # torch sdpa wants (B, H, L, d)
+        def t(x):
+            return torch.from_numpy(np.ascontiguousarray(
+                np.asarray(x).transpose(0, 2, 1, 3))).requires_grad_(True)
+
+        qt, kt, vt = t(q), t(k), t(v)
+        out = torch.nn.functional.scaled_dot_product_attention(qt, kt, vt)
+        dyt = torch.from_numpy(np.asarray(dy).transpose(0, 2, 1, 3))
+        (out * dyt).sum().backward()
+        for gf, gt, name in zip(g_flash, (qt, kt, vt), "qkv"):
+            ref = gt.grad.numpy().transpose(0, 2, 1, 3)
+            np.testing.assert_allclose(np.asarray(gf), ref,
+                                       atol=5e-4, rtol=5e-4,
+                                       err_msg=f"d{name} (Lq={Lq}, Lk={Lk})")

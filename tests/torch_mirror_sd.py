@@ -78,13 +78,19 @@ class Attention(nn.Module):
         self.to_out = nn.ModuleList([nn.Linear(dim, dim)])
 
     def forward(self, x, ctx=None):
-        src = x if ctx is None else ctx
+        # ctx may be a (k_source, v_source) pair: the reference's
+        # XTIAttenProc feeds K from the regular context and V from the
+        # bypass context (reference models/xti_attention_processor.py:38-42)
+        if isinstance(ctx, (tuple, list)):
+            k_src, v_src = ctx
+        else:
+            k_src = v_src = x if ctx is None else ctx
         B, L, C = x.shape
         H = self.heads
         hd = C // H
         q = self.to_q(x).view(B, L, H, hd).transpose(1, 2)
-        k = self.to_k(src).view(B, src.shape[1], H, hd).transpose(1, 2)
-        v = self.to_v(src).view(B, src.shape[1], H, hd).transpose(1, 2)
+        k = self.to_k(k_src).view(B, k_src.shape[1], H, hd).transpose(1, 2)
+        v = self.to_v(v_src).view(B, v_src.shape[1], H, hd).transpose(1, 2)
         attn = torch.softmax(q @ k.transpose(-1, -2) * hd ** -0.5, dim=-1)
         out = (attn @ v).transpose(1, 2).reshape(B, L, C)
         return self.to_out[0](out)
