@@ -68,6 +68,46 @@ class TestMode0ResumeExact:
         assert result["steps"] == 4
 
 
+@pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
+class TestMeshResumeExact:
+    """The full train-interrupt-restore-continue lifecycle ON the dp×tp
+    virtual device mesh: the orbax state is saved sharded from a mesh run
+    and restored back onto the mesh mid-training. Must replay the
+    uninterrupted mesh run exactly (same tolerance as the single-device
+    resume tests)."""
+
+    def _cfg(self, exp_dir, steps, resume_from=None):
+        return decode(RunConfig, {
+            "learnable_mode": 0,
+            "data": {"train_data_dir": str(TEAPOT), "repeats": 3,
+                     "resolution": 16, "flip_p": 0.5},
+            "model": {"arch_view_net": 15, "word_embedding_dim": 32},
+            "parallel": {"use_mesh": True, "dp": 2, "tp": 2},
+            "log": {"exp_dir": str(exp_dir), "save_dataset_images": False,
+                    "save_steps": 2, "checkpoint_backend": "orbax",
+                    **({"resume_from": str(resume_from)}
+                       if resume_from else {})},
+            "optim": {"max_train_steps": steps, "train_batch_size": 2,
+                      "gradient_accumulation_steps": 1}})
+
+    def _train_mesh(self, cfg):
+        from view_neti_tpu.training.coach import Coach
+        coach = Coach(cfg, arch=builder.tiny_arch())
+        assert coach.mesh is not None, "expected a dp×tp mesh"
+        assert dict(coach.mesh.shape) == {"dp": 2, "tp": 2}
+        coach.train()
+        return jax.device_get(coach.trainable)
+
+    def test_resumed_equals_uninterrupted_on_mesh(self, tmp_path):
+        straight = self._train_mesh(self._cfg(tmp_path / "straight", 4))
+        self._train_mesh(self._cfg(tmp_path / "parts", 2))
+        resumed = self._train_mesh(self._cfg(
+            tmp_path / "parts", 4,
+            resume_from=tmp_path / "parts" / "orbax" / "state-2"))
+        for a, b in zip(_leaves(straight), _leaves(resumed)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 class TestMode3FusedResumeExact:
     def _cfg(self, exp_dir, root, steps, resume_from=None):
         return decode(RunConfig, {

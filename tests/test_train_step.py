@@ -319,6 +319,7 @@ class TestLatentCache:
 
 
 class TestMeshSharding:
+    @pytest.mark.quick   # the quick tier's mesh-sharding regression gate
     def test_dp_mesh_step(self):
         from view_neti_tpu.parallel import mesh as pmesh
         cfg, built = _build(2, n_view=3)
