@@ -114,3 +114,57 @@ def test_cost_hook_off_by_default(tmp_path):
     coach = Coach(cfg, arch=builder.tiny_arch())
     coach.train()
     assert coach.dispatch_cost_analysis() is None
+
+
+@pytest.mark.quick
+def test_fori_loop_cost_priced_once_regardless_of_trip_count():
+    """The inference/val MFU report multiplies the denoise program's
+    cost-model FLOPs by the step count, assuming XLA prices a fori_loop
+    body ONCE regardless of trip count (the training-scan analogue is
+    pinned in test_cost_analysis_scales_with_superstep_window). If an XLA
+    upgrade switches to trip-count-scaled while-loop costing, this fails
+    loudly instead of silently inflating inference MFU ~30x."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def loop(n, x):
+        def body(_, c):
+            return c @ c
+        return jax.lax.fori_loop(0, n, body, x)
+
+    x = jnp.zeros((64, 64), jnp.float32)
+    fl_2 = bench._aot_flops(loop, 2, x)
+    fl_30 = bench._aot_flops(loop, 30, x)
+    assert fl_2 is not None and fl_2 > 0
+    assert fl_30 == pytest.approx(fl_2, rel=0.01), (
+        "XLA now scales while-loop cost by trip count; drop the "
+        "n_steps multiplier in bench.py's inference/val MFU report")
+
+
+@pytest.mark.quick
+def test_mfu_fields_band_never_exceeds_one():
+    """Utilization is reported as a [low, high] band against the measured
+    67-76 TFLOP/s ceiling band, with every field clamped to 1.0 (r4
+    verdict: a >1.0 scalar in driver JSON invites distrust)."""
+    import bench
+
+    # 71.9 TFLOP/s achieved: inside the measured band
+    f = bench._mfu_fields(71.9e12, 1, 1.0)
+    assert f["tflops_per_sec"] == pytest.approx(71.9)
+    assert f["mfu_low"] == pytest.approx(71.9 / 76.0, abs=1e-3)
+    assert f["mfu_high"] == 1.0
+    assert f["mfu_vs_measured_ceiling"] == 1.0
+    for k in ("mfu_low", "mfu_high", "mfu_vs_measured_ceiling"):
+        assert f[k] <= 1.0
+
+    # well below the band: unclamped, ordered
+    f = bench._mfu_fields(35.75e12, 1, 1.0)
+    assert f["mfu_low"] < f["mfu_vs_measured_ceiling"] < f["mfu_high"] < 1
+
+    # no flops -> no fields
+    assert bench._mfu_fields(None, 1, 1.0) == {}
