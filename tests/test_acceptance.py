@@ -50,10 +50,23 @@ class TestAcceptanceSmoke:
             cwd=str(REPO))
         assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
         payload = json.loads((tmp_path / "acceptance.json").read_text())
+        # FULL schema pin (r4 verdict item 8): the one-command quality run
+        # must not rot before real assets arrive; any key drift here would
+        # silently break the day-one acceptance run
+        assert set(payload) == {
+            "metrics", "assets", "manifest", "all_assets_real",
+            "meaningful_for_quality", "train_wall_s", "eval_wall_s",
+            "steps", "seeds", "denoise_steps", "acceptance"}, set(payload)
         for m in ("mse", "psnr", "ssim", "lpips"):
             for split in ("train", "test"):
                 v = payload["metrics"][f"{m}_{split}_mean"]
                 assert np.isfinite(v), (m, split, v)
+        for name in ("SD_WEIGHTS_DIR", "TOKENIZER_PATH", "LPIPS_WEIGHTS",
+                     "DTU_MASKS_DIR", "dtu_root"):
+            assert set(payload["assets"][name]) == {"path", "present"}
+        assert payload["train_wall_s"] > 0 and payload["eval_wall_s"] > 0
+        assert payload["steps"] >= 1 and len(payload["seeds"]) >= 1
         # random-weights runs must be labeled as not quality-meaningful
+        assert payload["all_assets_real"] is False
         assert payload["meaningful_for_quality"] is False
         assert payload["acceptance"] is None
