@@ -45,6 +45,12 @@ class UNetConfig:
     freq_shift: int = 0
     gradient_checkpointing: bool = False
     use_flash_attention: bool = True
+    # Fuse norm+silu+conv3x3 (+temb/residual) sections into one Pallas
+    # kernel (ops/fused_conv.py). FORWARD-ONLY — enable solely for
+    # inference-built UNets (the denoise loop never differentiates);
+    # training UNets must keep this False (grads flow through the UNet
+    # to the text conditioning). Param tree is identical either way.
+    fuse_conv: bool = False
 
     def heads_for(self, channels: int) -> int:
         if self.attention_head_dim is not None:
@@ -92,28 +98,55 @@ class GroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: bool = False):
         # fp32 statistics, fused normalize pass (ops/norm.py) — param tree
         # identical to an anonymous nn.GroupNorm
         from view_neti_tpu.ops.norm import group_norm
-        return group_norm(self.groups, self.eps, self.dtype)(x)
+        return group_norm(self.groups, self.eps, self.dtype)(x, fold)
+
+
+def _fusable(x, cout: int, dtype, has_residual: bool = False) -> bool:
+    from view_neti_tpu.ops import fused_conv
+    return fused_conv.supported(x.shape, cout,
+                                jnp.dtype(dtype).itemsize, has_residual)
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     norm_groups: int
     dtype: jnp.dtype = jnp.float32
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
-        h = GroupNorm(self.norm_groups, dtype=self.dtype, name="norm1")(x)
+        norm1 = GroupNorm(self.norm_groups, dtype=self.dtype, name="norm1")
+        norm2 = GroupNorm(self.norm_groups, dtype=self.dtype, name="norm2")
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     name="time_emb_proj")(nn.silu(temb))
+        if (self.fuse and _fusable(x, self.out_channels, self.dtype)
+                and _fusable(x, self.out_channels, self.dtype, True)):
+            from view_neti_tpu.ops import fused_conv
+            a1, b1 = norm1(x, fold=True)
+            k1, c1 = fused_conv.Conv3x3Params(
+                self.out_channels, name="conv1")(x.shape[-1])
+            h = fused_conv.fused_affine_silu_conv3x3(
+                x, a1, b1, k1.astype(self.dtype), c1.astype(self.dtype),
+                add_bc=t, out_dtype=self.dtype)
+            a2, b2 = norm2(h, fold=True)
+            k2, c2 = fused_conv.Conv3x3Params(
+                self.out_channels, name="conv2")(h.shape[-1])
+            if x.shape[-1] != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name="conv_shortcut")(x)
+            return fused_conv.fused_affine_silu_conv3x3(
+                h, a2, b2, k2.astype(self.dtype), c2.astype(self.dtype),
+                residual=x, out_dtype=self.dtype)
+        h = norm1(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype,
-                     name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm(self.norm_groups, dtype=self.dtype, name="norm2")(h)
+        h = norm2(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -272,6 +305,7 @@ class UNet2DCondition(nn.Module):
             has_attn = i < num_blocks - 1
             for j in range(cfg.layers_per_block):
                 x = res_block(out_ch, cfg.norm_groups, self.dtype,
+                              cfg.fuse_conv,
                               name=f"down_{i}_res_{j}")(x, temb)
                 if has_attn:
                     x = make_attn(out_ch, xti, f"down_{i}_attn_{j}")(
@@ -285,11 +319,11 @@ class UNet2DCondition(nn.Module):
 
         # ---- mid ----------------------------------------------------------
         mid_ch = cfg.block_out_channels[-1]
-        x = res_block(mid_ch, cfg.norm_groups, self.dtype,
+        x = res_block(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                       name="mid_res_0")(x, temb)
         x = make_attn(mid_ch, xti, "mid_attn")(x, context, context_bypass)
         xti += 1
-        x = res_block(mid_ch, cfg.norm_groups, self.dtype,
+        x = res_block(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                       name="mid_res_1")(x, temb)
 
         # ---- up path: cross-attn blocks except the first ------------------
@@ -299,6 +333,7 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = res_block(out_ch, cfg.norm_groups, self.dtype,
+                              cfg.fuse_conv,
                               name=f"up_{i}_res_{j}")(x, temb)
                 if has_attn:
                     x = make_attn(out_ch, xti, f"up_{i}_attn_{j}")(

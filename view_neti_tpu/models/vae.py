@@ -31,6 +31,11 @@ class VAEConfig:
     latent_channels: int = 4
     norm_groups: int = 32
     scaling_factor: float = SD_VAE_SCALING
+    # Fuse norm+silu+conv3x3 sections into one Pallas kernel
+    # (ops/fused_conv.py). Forward-only: safe for the frozen VAE in BOTH
+    # training (train_step stop_gradients the encode) and inference.
+    # Param tree is identical either way.
+    fuse_conv: bool = False
 
 
 def tiny_vae_config() -> VAEConfig:
@@ -43,25 +48,52 @@ class GroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: bool = False):
         # fp32 statistics regardless of compute dtype; fused normalize pass
         # (ops/norm.py) — param tree identical to an anonymous nn.GroupNorm
         from view_neti_tpu.ops.norm import group_norm
-        return group_norm(self.groups, 1e-6, self.dtype)(x)
+        return group_norm(self.groups, 1e-6, self.dtype)(x, fold)
+
+
+def _fusable(x, cout: int, dtype, has_residual: bool = False) -> bool:
+    from view_neti_tpu.ops import fused_conv
+    return fused_conv.supported(x.shape, cout,
+                                jnp.dtype(dtype).itemsize, has_residual)
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     norm_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm(self.norm_groups, self.dtype, name="norm1")(x)
+        norm1 = GroupNorm(self.norm_groups, self.dtype, name="norm1")
+        norm2 = GroupNorm(self.norm_groups, self.dtype, name="norm2")
+        if (self.fuse and _fusable(x, self.out_channels, self.dtype)
+                and _fusable(x, self.out_channels, self.dtype, True)):
+            from view_neti_tpu.ops import fused_conv
+            a1, b1 = norm1(x, fold=True)
+            k1, c1 = fused_conv.Conv3x3Params(
+                self.out_channels, name="conv1")(x.shape[-1])
+            h = fused_conv.fused_affine_silu_conv3x3(
+                x, a1, b1, k1.astype(self.dtype), c1.astype(self.dtype),
+                out_dtype=self.dtype)
+            a2, b2 = norm2(h, fold=True)
+            k2, c2 = fused_conv.Conv3x3Params(
+                self.out_channels, name="conv2")(h.shape[-1])
+            if x.shape[-1] != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name="shortcut")(x)
+            return fused_conv.fused_affine_silu_conv3x3(
+                h, a2, b2, k2.astype(self.dtype), c2.astype(self.dtype),
+                residual=x, out_dtype=self.dtype)
+        h = norm1(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = GroupNorm(self.norm_groups, self.dtype, name="norm2")(h)
+        h = norm2(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -106,6 +138,7 @@ class Encoder(nn.Module):
             out_ch = ch * mult
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(out_ch, cfg.norm_groups, self.dtype,
+                                cfg.fuse_conv,
                                 name=f"down_{i}_block_{j}")(h)
             if i != len(cfg.channel_mults) - 1:
                 # asymmetric (0,1) pad + stride-2 conv (SD convention)
@@ -113,15 +146,26 @@ class Encoder(nn.Module):
                 h = nn.Conv(out_ch, (3, 3), strides=2, padding="VALID",
                             dtype=self.dtype, name=f"down_{i}_downsample")(h)
         mid_ch = ch * cfg.channel_mults[-1]
-        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                         name="mid_block_1")(h)
         h = AttnBlock(cfg.norm_groups, self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                         name="mid_block_2")(h)
-        h = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
-        h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
-                    dtype=self.dtype, name="conv_out")(h)
+        norm_out = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")
+        mo_ch = 2 * cfg.latent_channels
+        if cfg.fuse_conv and _fusable(h, mo_ch, self.dtype):
+            from view_neti_tpu.ops import fused_conv
+            a, b = norm_out(h, fold=True)
+            k, c = fused_conv.Conv3x3Params(mo_ch, name="conv_out")(
+                h.shape[-1])
+            h = fused_conv.fused_affine_silu_conv3x3(
+                h, a, b, k.astype(self.dtype), c.astype(self.dtype),
+                out_dtype=self.dtype)
+        else:
+            h = norm_out(h)
+            h = nn.silu(h)
+            h = nn.Conv(mo_ch, (3, 3), padding=1,
+                        dtype=self.dtype, name="conv_out")(h)
         h = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype,
                     name="quant_conv")(h)
         return h  # moments: mean | logvar
@@ -140,22 +184,32 @@ class Decoder(nn.Module):
         mid_ch = ch * cfg.channel_mults[-1]
         h = nn.Conv(mid_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(z)
-        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                         name="mid_block_1")(h)
         h = AttnBlock(cfg.norm_groups, self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype,
+        h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                         name="mid_block_2")(h)
         for i, mult in enumerate(reversed(cfg.channel_mults)):
             out_ch = ch * mult
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock(out_ch, cfg.norm_groups, self.dtype,
+                                cfg.fuse_conv,
                                 name=f"up_{i}_block_{j}")(h)
             if i != len(cfg.channel_mults) - 1:
                 from view_neti_tpu.ops.resize import nearest_upsample_2x
                 h = nearest_upsample_2x(h)
                 h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
-        h = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")(h)
+        norm_out = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")
+        if cfg.fuse_conv and _fusable(h, cfg.in_channels, self.dtype):
+            from view_neti_tpu.ops import fused_conv
+            a, b = norm_out(h, fold=True)
+            k, c = fused_conv.Conv3x3Params(cfg.in_channels,
+                                            name="conv_out")(h.shape[-1])
+            return fused_conv.fused_affine_silu_conv3x3(
+                h, a, b, k.astype(self.dtype), c.astype(self.dtype),
+                out_dtype=self.dtype)
+        h = norm_out(h)
         h = nn.silu(h)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)

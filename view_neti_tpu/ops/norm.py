@@ -25,7 +25,11 @@ class FastGroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: bool = False):
+        """Normalize x, or — with fold=True — return the per-(B, C) fp32
+        affine (a, b) such that normalize(x) == x*a + b, for consumers
+        that fuse the normalize into a downstream kernel
+        (ops/fused_conv.py)."""
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -39,6 +43,10 @@ class FastGroupNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.epsilon)
         a = inv * scale.reshape(1, 1, G, C // G)
         b = bias.reshape(1, 1, G, C // G) - mean * a
+        if fold:
+            a_c = jnp.broadcast_to(a, (B, 1, G, C // G)).reshape(B, C)
+            b_c = jnp.broadcast_to(b, (B, 1, G, C // G)).reshape(B, C)
+            return a_c, b_c
         y = x32 * a + b
         return y.reshape(x.shape).astype(self.dtype)
 

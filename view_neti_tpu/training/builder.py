@@ -329,6 +329,37 @@ def build_models(cfg: RunConfig, tokenizer,
         target_norm_view=norm_view)
 
 
+def fuse_for_inference(frozen):
+    """A FrozenModels view whose UNet and VAE run the fused
+    norm+silu+conv3x3 Pallas kernel (ops/fused_conv.py).
+
+    Param trees are identical between the fused and unfused modules, so
+    the SAME unet_vars/vae_vars serve both — only the static module defs
+    are swapped. The kernel is forward-only: use this view exclusively on
+    inference paths (the denoise loop, VAE decode, the validation sweep);
+    training keeps the differentiable unfused UNet."""
+    import dataclasses as _dc
+    unet = UNet2DCondition(
+        _dc.replace(frozen.unet.config, fuse_conv=True),
+        dtype=frozen.unet.dtype)
+    vae = AutoencoderKL(
+        _dc.replace(frozen.vae.config, fuse_conv=True),
+        dtype=frozen.vae.dtype)
+    return _dc.replace(frozen, unet=unet, vae=vae)
+
+
+def fuse_vae_for_training(frozen):
+    """A FrozenModels view with only the VAE fused: the train step's VAE
+    encode is wrapped in stop_gradient (train_step.py:150), so the
+    forward-only kernel is safe there while the UNet stays
+    differentiable."""
+    import dataclasses as _dc
+    vae = AutoencoderKL(
+        _dc.replace(frozen.vae.config, fuse_conv=True),
+        dtype=frozen.vae.dtype)
+    return _dc.replace(frozen, vae=vae)
+
+
 def trainable_mask_keys(mode: int) -> Tuple[tuple, tuple]:
     """(stacked_keys, frozen_keys) for the optimizer per learnable mode.
 
