@@ -410,6 +410,12 @@ def _bench_e2e():
         "optim": {"mixed_precision": "no" if tiny else "bf16",
                   "fuse_accumulation":
                       os.environ.get("BENCH_FUSE", "1") == "1",
+                  # None = auto (fused VAE-encode Pallas blocks on TPU);
+                  # BENCH_FUSECONV=0/1 forces for ablation
+                  "fuse_conv":
+                      (None
+                       if os.environ.get("BENCH_FUSECONV", "") == ""
+                       else os.environ["BENCH_FUSECONV"] == "1"),
                   "steps_per_dispatch": int(os.environ.get("BENCH_SPD",
                                                            "0")),
                   "max_train_steps": -(steps // -4) * 4},
@@ -538,6 +544,12 @@ def _bench_infer():
                                  arch=arch, compute_dtype=jnp.bfloat16,
                                  calibration_dir=caldir)
     frozen = built.frozen
+    # BENCH_FUSECONV=0 disables the fused GN+SiLU+conv3x3 Pallas blocks
+    # (default: auto — on for TPU, ops/fused_conv.py)
+    if builder.resolve_fuse_conv(
+            None if os.environ.get("BENCH_FUSECONV", "") == ""
+            else os.environ["BENCH_FUSECONV"] == "1"):
+        frozen = builder.fuse_for_inference(frozen)
     schedule = DPMSolverSchedule()
     n_steps = int(os.environ.get("BENCH_INFER_STEPS", "30"))
     ts = schedule.set_timesteps(n_steps)
@@ -663,6 +675,10 @@ def _bench_val():
                                  arch=arch, compute_dtype=dtype,
                                  calibration_dir=caldir)
     frozen = built.frozen
+    if builder.resolve_fuse_conv(
+            None if os.environ.get("BENCH_FUSECONV", "") == ""
+            else os.environ["BENCH_FUSECONV"] == "1"):
+        frozen = builder.fuse_for_inference(frozen)
     schedule = DPMSolverSchedule()
     n_steps = int(os.environ.get("BENCH_INFER_STEPS",
                                  "2" if tiny else "30"))

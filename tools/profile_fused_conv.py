@@ -70,22 +70,33 @@ def main():
     from view_neti_tpu.models.vae import ResnetBlock as VaeBlock
     from view_neti_tpu.models.unet import ResnetBlock as UnetBlock
 
-    print("== VAE encoder (train bench shapes, B=9 fused window) ==")
-    site("enc L0", VaeBlock, 9, 384, 512, 128, 128)
-    site("enc L1", VaeBlock, 9, 192, 256, 256, 256)
-    site("enc L2", VaeBlock, 9, 96, 128, 512, 512)
-
-    print("== VAE decoder (768x576 inference) ==")
-    site("dec up3", VaeBlock, 1, 576, 768, 128, 128)
-    site("dec up2", VaeBlock, 1, 288, 384, 256, 256)
-    site("dec up1", VaeBlock, 1, 144, 192, 512, 512)
-
-    print("== UNet resnet (768x576 inference latents, B=2 CFG) ==")
-    site("unet L0", UnetBlock, 2, 72, 96, 320, 320, unet=True)
-    site("unet L1", UnetBlock, 2, 36, 48, 640, 640, unet=True)
-
-    print("== UNet resnet (train, 64x64 latents, B=9) ==")
-    site("unet L0", UnetBlock, 9, 48, 64, 320, 320, unet=True)
+    # argv[1:] = substring filters; no args runs every site.
+    want = sys.argv[1:]
+    sites = [
+        ("enc L0", VaeBlock, 9, 384, 512, 128, 128, False),
+        ("enc L1", VaeBlock, 9, 192, 256, 256, 256, False),
+        ("enc L2", VaeBlock, 9, 96, 128, 512, 512, False),
+        ("dec up3", VaeBlock, 1, 576, 768, 128, 128, False),
+        # boundary probes for the 128-channel profitability policy:
+        # enc L0 (B=9) regresses fused, dec up3 (B=1) wins — find the
+        # batch crossover for 128ch levels
+        ("dec up3 B3", VaeBlock, 3, 576, 768, 128, 128, False),
+        ("enc L0 B1", VaeBlock, 1, 384, 512, 128, 128, False),
+        ("dec up2", VaeBlock, 1, 288, 384, 256, 256, False),
+        ("dec up1", VaeBlock, 1, 144, 192, 512, 512, False),
+        # unet L0 (320ch) is excluded by the compiled-mode channel
+        # alignment rule (fused_conv._channels_aligned) and L2 (1280ch)
+        # by the profitability policy — fuse=1 there measures the
+        # fallback (== fuse=0 up to the +-13% small-site noise floor).
+        # Only L1 (640ch) genuinely fuses.
+        ("unet infer L0", UnetBlock, 2, 72, 96, 320, 320, True),
+        ("unet infer L1", UnetBlock, 2, 36, 48, 640, 640, True),
+        ("unet infer L2", UnetBlock, 2, 18, 24, 1280, 1280, True),
+    ]
+    for tag, cls, B, H, W, Ci, Co, unet in sites:
+        if want and not any(w in tag for w in want):
+            continue
+        site(tag, cls, B, H, W, Ci, Co, unet=unet)
 
 
 if __name__ == "__main__":

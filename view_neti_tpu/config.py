@@ -236,6 +236,14 @@ class OptimConfig:
     # a batch is index-only, so whole windows run device-side. Windows
     # shrink automatically at save/validation/end boundaries.
     steps_per_dispatch: int = 0
+    # TPU optimization: run the frozen UNet/VAE conv sections through the
+    # fused GroupNorm+SiLU+conv3x3 Pallas kernel (ops/fused_conv.py) on
+    # the forward-only paths — the train step's stop_gradient VAE encode,
+    # the denoise loop, VAE decode, validation sweeps. None = auto (on
+    # when the backend is TPU; CPU keeps the unfused XLA path — the
+    # interpreter would crawl). Per-site profitability is gated inside
+    # ops.fused_conv (measured, tools/profile_fused_conv.py).
+    fuse_conv: Optional[bool] = None
 
 
 @dataclass

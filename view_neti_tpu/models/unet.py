@@ -107,8 +107,10 @@ class GroupNorm(nn.Module):
 
 def _fusable(x, cout: int, dtype, has_residual: bool = False) -> bool:
     from view_neti_tpu.ops import fused_conv
-    return fused_conv.supported(x.shape, cout,
-                                jnp.dtype(dtype).itemsize, has_residual)
+    return (fused_conv.profitable(x.shape, cout)
+            and fused_conv.supported(x.shape, cout,
+                                     jnp.dtype(dtype).itemsize,
+                                     has_residual))
 
 
 class ResnetBlock(nn.Module):

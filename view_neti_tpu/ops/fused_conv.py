@@ -1,14 +1,13 @@
 """Pallas TPU fused GroupNorm-affine + SiLU + 3x3 conv (forward-only).
 
 Why: the step profile (PARITY.md) shows the UNet/VAE conv sections running
-at ~50 TFLOP/s vs the 67-76 TFLOP/s measured chip ceiling, while a bare 3x3
-conv at the same shapes hits the ceiling (tools/profile_vae.py). The gap is
-the elementwise traffic AROUND each conv: XLA materializes the normalized +
-SiLU'd activation in HBM before the conv reads it back (norm->silu->conv is
-1 extra read + 1 extra write of the full activation per section). This
-kernel consumes the RAW activation once — the GroupNorm normalize (folded
-to a per-(B,C) affine by a cheap jnp stats pass), SiLU, 3x3 conv, bias,
-per-(B,Cout) time-embedding add, and residual add all happen in VMEM.
+below the 67-76 TFLOP/s measured chip ceiling: XLA materializes the
+normalized + SiLU'd activation in HBM before the conv reads it back
+(norm->silu->conv costs 1 extra read + 1 extra write of the full
+activation per section). This kernel consumes the RAW activation once —
+the GroupNorm normalize (folded to a per-(B,C) affine by a cheap jnp stats
+pass), SiLU, 3x3 conv, bias, per-(B,Cout) time-embedding add, and residual
+add all happen in VMEM.
 
 The reference inherits these sections from diffusers' CUDA ResnetBlock2D
 (reference training/coach.py:628-640 loads the frozen UNet/VAE whose conv
@@ -18,18 +17,19 @@ mirror — this is the TPU-native fusion the architecture calls for.
 Kernel design (see /opt/skills/guides/pallas_guide.md):
   * grid = (B, H/bh, Cout/ct), sequential on TPU; x stays in HBM
     (memory_space=ANY) and each (b, h-tile) DMAs a (bh+2, W, Cin) halo
-    slab into persistent VMEM scratch (re-used across the ct-minor grid
-    axis).
-  * the affine+SiLU pass writes a FLAT ((bh+2)*(W+2), Cin) slab row by
-    row, zeroing the width-pad columns and out-of-image halo rows with
-    jnp.where (conv zero-padding applies AFTER norm+silu, and stale
-    scratch may hold NaNs — where, not multiply).
-  * the 3x3 conv is NINE shifted matmuls over that flat slab: because the
-    accumulator keeps the padded width (bh*(W+2) rows), tap (dy, dx) is
-    the CONTIGUOUS row slice starting at dy*(W+2)+dx — no gather/relayout,
-    each tap a dense (bh*(W+2), Cin) @ (Cin, ct) MXU matmul with fp32
-    accumulation. The two garbage columns per output row never leave the
-    accumulator (the epilogue reads W columns per row).
+    slab into persistent VMEM scratch, then affine+SiLU+halo-masks it
+    into a second persistent scratch — BOTH once per (b, h-tile),
+    re-used across the ct-minor grid axis (multi-ct plans would
+    otherwise recompute the SiLU per output tile). Out-of-image halo
+    rows are zeroed with jnp.where (stale scratch may hold NaNs; conv
+    zero-padding applies to the POST-silu tensor, so masking happens
+    after the SiLU).
+  * the 3x3 conv is nine (bh, W, Cin) x (Cin, ct) MXU contractions over
+    ALIGNED views of the slab: row shifts are major-axis slices
+    [dy:dy+bh] (no layout constraint) and column shifts use pltpu.roll
+    along the sublane axis with the single wrapped column masked — every
+    production W is a multiple of the sublane tile, so no relayout
+    copies anywhere. fp32 accumulation; single-op epilogue.
   * forward-only (no custom VJP): gradients never flow through the frozen
     VAE (train_step.py wraps encode in stop_gradient) or through anything
     at inference. The UNet keeps the unfused path when training.
@@ -49,10 +49,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Scoped-VMEM budget for one grid step (raw slab + flat silu'd slab +
-# weights + accumulator + double-buffered IO blocks). Hardware VMEM is
-# ~16 MB; leave headroom for Mosaic's own buffers.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Planning budget for one grid step. Mosaic's scoped accounting charges
+# the slab scratch, the transient affine/SiLU/rolled values, the fp32
+# accumulator chain, and double-buffered IO blocks; the hardware scoped
+# limit is ~16 MB, so plan well under it.
+_VMEM_BUDGET = 9 * 1024 * 1024
+_VMEM_LIMIT = 15 * 1024 * 1024
 
 
 def _divisor_at_most(n: int, target: int, prefer_mult: int = 8) -> int:
@@ -71,45 +73,107 @@ def _plan(H: int, W: int, Cin: int, Cout: int, itemsize: int,
           res_itemsize: int) -> Optional[tuple]:
     """Pick (bh, ct) fitting the VMEM budget, or None if unsupported.
 
-    Larger bh amortizes the halo DMA and lengthens the matmul M dim;
-    prefer the largest that fits."""
+    Larger bh amortizes the halo DMA and lengthens the contraction M dim;
+    prefer the largest that fits. The working-set estimate charges both
+    slab scratches (raw + SiLU'd), the fp32 row transients of the affine
+    pass, the partial-sum/rolled/accumulator chain, and the IO blocks."""
     ct_candidates = [d for d in range(Cout, 0, -1)
                      if Cout % d == 0 and (d % 128 == 0 or d == Cout)]
     for bh_target in (32, 16, 8, 4, 2, 1):
         bh = _divisor_at_most(H, bh_target)
         if bh > bh_target:
             continue
-        wp = W + 2
         slab = (bh + 2) * W * Cin * itemsize
-        sslab = ((bh + 2) * wp + 8) * Cin * itemsize
+        rows = 3 * W * Cin * 4            # fp32 affine/SiLU row transients
         for ct in ct_candidates:
             weights = 9 * Cin * ct * itemsize
-            acc = bh * wp * ct * 4
+            acc = bh * W * ct * 4
             io = 2 * bh * W * ct * (itemsize + res_itemsize)
-            if slab + sslab + weights + acc + io <= _VMEM_BUDGET:
+            # 2x slab: raw + silu'd scratch; 4x acc: partial-sum chain,
+            # accumulator, and the rolled copy
+            total = 2 * slab + rows + weights + 4 * acc + io
+            if total <= _VMEM_BUDGET:
                 return bh, ct
     return None
 
 
+def _channels_aligned(cin: int, cout: int) -> bool:
+    """Mosaic constraint (compiled mode only): the halo DMA slices the
+    HBM memref along the minor (channel) axis, and slice shapes there must
+    be lane-tile (128) aligned — a 320-channel UNet level lowers its x to
+    a 384-padded memref and the (…, 320) slice is rejected ("Slice shape
+    along dimension 3 must be aligned to tiling (128)", measured r5).
+    Host-padding channels would re-materialize x in HBM, the exact traffic
+    this kernel deletes, so unaligned sites keep the unfused path. All VAE
+    levels (128/256/512) and the UNet 640/1280 levels qualify; only the
+    UNet 320 level does not."""
+    return cin % 128 == 0 and cout % 128 == 0
+
+
+def profitable(x_shape, cout: int) -> bool:
+    """Measured per-site profitability (tools/profile_fused_conv.py, r5,
+    v5e). The kernel wins at 256-640 input channels everywhere and at
+    128-channel levels with small batch; it LOSES in two regimes:
+      * 128 channels at large batch — the VMEM plan is forced down to
+        bh=4 (halo = +50% slab traffic) while XLA's conv on the big
+        (9, 384, 512, 128) activation already runs near the bandwidth
+        ceiling;
+      * >=1280 channels at tiny spatial (UNet mid levels) — 10 ct tiles
+        re-stream the weights while the contraction M dim (bh*W) starves
+        the MXU.
+    Numbers (TF/s unfused -> fused, VAE sites stable across reruns; the
+    UNet sites have a measured +-13% noise floor — the fallback-vs-
+    fallback L0 row differs by that much between runs):
+      enc L0  (9, 384,512,128): 64.1 -> 49.5   LOSS  -> gated out
+      enc L0  (1, 384,512,128): 32.3 -> 38.7   +20%
+      enc L1  (9, 192,256,256): 78.3 -> 82.5   +5%
+      enc L2  (9,  96,128,512): 77.4 -> 116.4  +50%
+      dec up3 (1, 576,768,128): 41.3 -> 52.9   +28%
+      dec up3 (3, 576,768,128): 28.3 -> 48.0   +70%
+      dec up2 (1, 288,384,256): 57.5 -> 70.2   +22%
+      dec up1 (1, 144,192,512): 73.2 -> 81.6   +11%
+      unet L1 (2,  36, 48,640): 24.3 -> 27.0   +11%
+      unet L2 (2,  18, 24,1280): 24.1 -> 12.6  LOSS  -> gated out
+    (unet L0 (320ch) is excluded by _channels_aligned, not by policy.)
+    """
+    B, _, _, Cin = x_shape
+    if Cin > 640:
+        return False
+    if Cin >= 256:
+        return True
+    return B <= 4
+
+
 def supported(x_shape, cout: int, itemsize: int = 2,
-              has_residual: bool = False) -> bool:
-    """Static gate: True when a VMEM-feasible (bh, ct) plan exists."""
+              has_residual: bool = False,
+              interpret: Optional[bool] = None) -> bool:
+    """Static gate: True when a VMEM-feasible (bh, ct) plan exists and the
+    channel dims satisfy compiled-mode DMA alignment (interpret mode — the
+    CPU test path — has no alignment constraint). Callers deciding whether
+    to fuse a model block should ALSO consult profitable()."""
     _, H, W, Cin = x_shape
+    if interpret is None:
+        interpret = _default_interpret()
+    if not interpret and not _channels_aligned(Cin, cout):
+        return False
     return _plan(H, W, Cin, cout, itemsize,
                  itemsize if has_residual else 0) is not None
 
 
 def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, add_ref, res_ref,
             out_ref, slab, sslab, sem, *, bh: int, W: int, Cin: int,
-            compute_dtype, has_bias: bool, has_add: bool, has_res: bool):
+            compute_dtype, has_bias: bool, has_add: bool, has_res: bool,
+            interpret: bool):
     bidx = pl.program_id(0)
     t = pl.program_id(1)
     co = pl.program_id(2)
     nt = pl.num_programs(1)
-    Wp = W + 2
     ct = w_ref.shape[3]
 
-    # ---- load + normalize the halo slab once per (b, h-tile) ----
+    # ---- once per (b, h-tile), reused across the ct-minor axis: DMA the
+    # halo slab from HBM, then affine + SiLU + halo-mask it into sslab.
+    # Recomputing the SiLU per ct step is what sank the multi-ct-tile
+    # plans (the 1280-channel UNet level runs 10 ct steps).
     @pl.when(co == 0)
     def _load():
         y0 = t * bh
@@ -135,55 +199,60 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, add_ref, res_ref,
             d.start()
             d.wait()
 
-        # affine + SiLU, written row-by-row into the FLAT padded slab.
-        # Width-pad columns and invalid halo rows are zeroed with
-        # jnp.where — stale scratch may hold NaNs and conv zero-padding
-        # applies to the POST-silu tensor.
         a = a_ref[pl.ds(bidx, 1), :][0].astype(jnp.float32)   # (Cin,)
         b = b_ref[pl.ds(bidx, 1), :][0].astype(jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (Wp, Cin), 0)
-        in_image = jnp.logical_and(col >= 1, col <= W)
+        # ROW-WISE: a whole-slab fp32 affine pass keeps ~3 slab-sized fp32
+        # temporaries live and blows Mosaic's scoped-VMEM stack at the
+        # 512-channel decoder level (measured 18.1M vs the 15M limit);
+        # per-row the transients are (W, Cin) fp32.
         for r in range(bh + 2):
-            xr = slab[r].astype(jnp.float32)           # (W, Cin)
+            xr = slab[r].astype(jnp.float32)                  # (W, Cin)
             yr = (xr * a[None, :] + b[None, :]).astype(compute_dtype)
             yr = yr * jax.nn.sigmoid(yr.astype(jnp.float32)).astype(
                 compute_dtype)
-            # place into padded width: col 0 and col W+1 are pad
-            row = jnp.zeros((Wp, Cin), compute_dtype)
-            row = jax.lax.dynamic_update_slice_in_dim(row, yr, 1, 0)
+            # out-of-image halo rows: slab holds stale data (maybe NaN) —
+            # zero the POST-silu value (conv zero-padding semantics)
             if r == 0:
-                valid = t > 0
+                yr = jnp.where(t > 0, yr, jnp.zeros_like(yr))
             elif r == bh + 1:
-                valid = t < nt - 1
-            else:
-                valid = None
-            if valid is not None:
-                row = jnp.where(jnp.logical_and(valid, in_image), row,
-                                jnp.zeros_like(row))
-            else:
-                row = jnp.where(in_image, row, jnp.zeros_like(row))
-            sslab[pl.ds(r * Wp, Wp), :] = row
+                yr = jnp.where(t < nt - 1, yr, jnp.zeros_like(yr))
+            sslab[r] = yr
 
-    # ---- 9 shifted matmuls over the flat slab ----
-    acc = jnp.zeros((bh * Wp, ct), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = sslab[pl.ds(dy * Wp + dx, bh * Wp), :]
-            acc = acc + jax.lax.dot_general(
-                tap, w_ref[dy, dx], (((1,), (0,)), ((), ())),
+    # ---- nine MXU contractions over UNSHIFTED aligned views ----
+    # Row shifts are major-axis slices y[dy:dy+bh] (no layout constraint).
+    # Column shifts happen on the fp32 PARTIAL-SUM side: Mosaic's rotate
+    # only supports 32-bit data, so rather than rolling the bf16 slab we
+    # contract first and roll the fp32 partial sum — 2 rotates per grid
+    # step instead of 2 bf16 relayouts. The single wrapped column (j=0
+    # for dx=0, j=W-1 for dx=2) is conv zero-padding and gets masked.
+    acc = jnp.zeros((bh, W, ct), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, W, ct), 1)
+    for dx in range(3):
+        p = jnp.zeros((bh, W, ct), jnp.float32)
+        for dy in range(3):
+            p = p + jax.lax.dot_general(
+                sslab[dy:dy + bh], w_ref[dy, dx],
+                (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        if dx == 1:
+            acc = acc + p
+        else:
+            if interpret:
+                p = jnp.roll(p, 1 - dx, axis=1)
+            else:
+                # pltpu.roll requires a non-negative shift; -1 == W-1
+                p = pltpu.roll(p, (1 - dx) % W, axis=1)
+            bad = (col == 0) if dx == 0 else (col == W - 1)
+            acc = acc + jnp.where(bad, jnp.zeros_like(p), p)
 
-    # ---- epilogue: per output row, drop the 2 garbage columns ----
-    extra = jnp.zeros((1, ct), jnp.float32)
+    # ---- epilogue (single ops) ----
     if has_bias:
-        extra = extra + bias_ref[0].astype(jnp.float32)[None, :]
+        acc = acc + bias_ref[0].astype(jnp.float32)[None, None, :]
     if has_add:
-        extra = extra + add_ref[pl.ds(bidx, 1), :].astype(jnp.float32)
-    for i in range(bh):
-        row = jax.lax.dynamic_slice_in_dim(acc, i * Wp, W, 0) + extra
-        if has_res:
-            row = row + res_ref[0, i].astype(jnp.float32)
-        out_ref[0, i] = row.astype(out_ref.dtype)
+        acc = acc + add_ref[pl.ds(bidx, 1), :].astype(jnp.float32)[:, None, :]
+    if has_res:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _default_interpret() -> bool:
@@ -219,23 +288,27 @@ def fused_affine_silu_conv3x3(x: jnp.ndarray, a: jnp.ndarray,
     Cout = kernel.shape[3]
     compute_dtype = kernel.dtype
     out_dtype = out_dtype or compute_dtype
+    if interpret is None:
+        interpret = _default_interpret()
     plan = _plan(H, W, Cin, Cout, jnp.dtype(compute_dtype).itemsize,
                  jnp.dtype(residual.dtype).itemsize
                  if residual is not None else 0)
-    if plan is None:
+    if plan is None or (not interpret
+                        and not _channels_aligned(Cin, Cout)):
         raise ValueError(
-            f"fused_affine_silu_conv3x3: no VMEM-feasible plan for "
+            f"fused_affine_silu_conv3x3: no VMEM-feasible/aligned plan for "
             f"{x.shape} -> {Cout}; gate with ops.fused_conv.supported()")
     bh, ct = plan
-    if interpret is None:
-        interpret = _default_interpret()
 
     has_bias = bias is not None
     has_add = add_bc is not None
     has_res = residual is not None
     bias_in = (bias.reshape(1, Cout) if has_bias
                else jnp.zeros((1, Cout), compute_dtype))
-    add_in = add_bc if has_add else jnp.zeros((B, Cout), compute_dtype)
+    # fp32: the kernel dynamic-row-indexes (B, Cout) by batch, and Mosaic
+    # can't prove sublane-pair alignment for packed 16-bit dynamic loads
+    add_in = (add_bc.astype(jnp.float32) if has_add
+              else jnp.zeros((B, Cout), jnp.float32))
     res_in = residual if has_res else jnp.zeros(
         (B, 1, 1, Cout), compute_dtype)   # placeholder, never read
 
@@ -249,7 +322,8 @@ def fused_affine_silu_conv3x3(x: jnp.ndarray, a: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_kernel, bh=bh, W=W, Cin=Cin,
                           compute_dtype=compute_dtype, has_bias=has_bias,
-                          has_add=has_add, has_res=has_res),
+                          has_add=has_add, has_res=has_res,
+                          interpret=interpret),
         grid=(B, H // bh, Cout // ct),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # x in HBM
@@ -272,9 +346,8 @@ def fused_affine_silu_conv3x3(x: jnp.ndarray, a: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, W, Cin), x.dtype),            # raw slab
-            pltpu.VMEM(((bh + 2) * (W + 2) + 8, Cin),
-                       compute_dtype),                        # silu'd flat
+            pltpu.VMEM((bh + 2, W, Cin), x.dtype),            # halo slab
+            pltpu.VMEM((bh + 2, W, Cin), compute_dtype),      # silu'd slab
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -284,7 +357,7 @@ def fused_affine_silu_conv3x3(x: jnp.ndarray, a: jnp.ndarray,
                             * jnp.dtype(out_dtype).itemsize),
             transcendentals=x.size),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 2 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, a.astype(jnp.float32), b.astype(jnp.float32), kernel,
       bias_in, add_in, res_in)

@@ -329,6 +329,16 @@ def build_models(cfg: RunConfig, tokenizer,
         target_norm_view=norm_view)
 
 
+def resolve_fuse_conv(flag) -> bool:
+    """Resolve OptimConfig.fuse_conv: None = auto (fuse when lowering for
+    a real TPU; CPU keeps the unfused XLA path — the Pallas interpreter
+    would dominate test/dev runtime)."""
+    if flag is not None:
+        return bool(flag)
+    from view_neti_tpu.ops.fused_conv import _default_interpret
+    return not _default_interpret()
+
+
 def fuse_for_inference(frozen):
     """A FrozenModels view whose UNet and VAE run the fused
     norm+silu+conv3x3 Pallas kernel (ops/fused_conv.py).

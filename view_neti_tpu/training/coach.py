@@ -230,6 +230,21 @@ class Coach:
             self.mesh = None
             self.train_step = jax.jit(step_fn, donate_argnums=(0, 1))
 
+        # ---- fused conv (TPU, single-device): swap in the forward-only
+        # Pallas GN+SiLU+conv3x3 views (ops/fused_conv.py). Training fuses
+        # ONLY the stop-gradient VAE encode (the UNet stays
+        # differentiable); inference paths get both via infer_frozen().
+        # Param trees are identical, so checkpoints / the weight port are
+        # unaffected. Gated off under a mesh: the SPMD partitioner has no
+        # partitioning rule for Mosaic custom calls, so a sharded jit
+        # would replicate the kernel's operands instead of sharding them
+        # (docs/MULTIHOST.md).
+        self.fuse_conv = (builder.resolve_fuse_conv(cfg.optim.fuse_conv)
+                          and self.mesh is None)
+        if self.fuse_conv:
+            self.built.frozen = builder.fuse_vae_for_training(
+                self.built.frozen)
+
         self.checkpoint_handler = CheckpointHandler(
             cfg=cfg,
             placeholder_view_tokens=self.placeholder_view_tokens,
@@ -644,6 +659,15 @@ class Coach:
             "VIEW_NETI_DEVICE_BASE_CACHE_MB", "4096")) * 1_000_000
         first = ds._load_base(Path(ds.image_paths_flattened[0]))
         return first.nbytes * ds.num_images <= limit
+
+    def infer_frozen(self):
+        """FrozenModels view for inference paths (validation sweeps,
+        prompt sheets, DTU renders): fused UNet+VAE Pallas conv blocks
+        when fuse_conv resolved on, else the plain frozen stack. Module
+        defs only — the same unet_vars/vae_vars arrays serve both."""
+        if not self.fuse_conv:
+            return self.built.frozen
+        return builder.fuse_for_inference(self.built.frozen)
 
     def _attach_pixel_cache(self, arr: jnp.ndarray) -> jnp.ndarray:
         """Attach an HBM-resident per-image cache (uint8 bases or latent

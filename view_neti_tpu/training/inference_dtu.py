@@ -350,7 +350,7 @@ def dtu_generate_camidxs_to_preds(
     else:
         width, height = 768, 768
 
-    frozen = coach.built.frozen
+    frozen = coach.infer_frozen()
     uncond = encode_uncond(text.clip, text.clip_vars, coach.tokenizer)
     # batch several camera views through one denoise loop (TPU redesign:
     # the reference runs one view at a time, inference_dtu.py:246-260).

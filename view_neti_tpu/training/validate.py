@@ -121,7 +121,7 @@ class ValidationHandler:
                     num_steps: int) -> Dict:
         """Text-to-image over the validation prompt bank."""
         cfg = self.cfg
-        frozen = coach.built.frozen
+        frozen = coach.infer_frozen()
         text = frozen.text
         schedule = DPMSolverSchedule(
             prediction_type=frozen.schedule.prediction_type)
@@ -352,7 +352,7 @@ class ValidationHandler:
         prompt, stacked into a sheet at out_path. The mode-3 object-mapper
         slice is resolved from the object token found in each prompt."""
         cfg = self.cfg
-        frozen = coach.built.frozen
+        frozen = coach.infer_frozen()
         text = frozen.text
         schedule = DPMSolverSchedule(
             prediction_type=frozen.schedule.prediction_type)
