@@ -545,11 +545,14 @@ def _bench_infer():
                                  calibration_dir=caldir)
     frozen = built.frozen
     # BENCH_FUSECONV=0 disables the fused GN+SiLU+conv3x3 Pallas blocks
-    # (default: auto — on for TPU, ops/fused_conv.py)
+    # (default: auto — on for TPU, VAE only; ops/fused_conv.py).
+    # BENCH_FUSE_UNET=1 additionally fuses the UNet (measured loss r5 —
+    # experiment lever only).
     if builder.resolve_fuse_conv(
             None if os.environ.get("BENCH_FUSECONV", "") == ""
             else os.environ["BENCH_FUSECONV"] == "1"):
-        frozen = builder.fuse_for_inference(frozen)
+        frozen = builder.fuse_for_inference(
+            frozen, unet=os.environ.get("BENCH_FUSE_UNET", "") == "1")
     schedule = DPMSolverSchedule()
     n_steps = int(os.environ.get("BENCH_INFER_STEPS", "30"))
     ts = schedule.set_timesteps(n_steps)
@@ -678,7 +681,8 @@ def _bench_val():
     if builder.resolve_fuse_conv(
             None if os.environ.get("BENCH_FUSECONV", "") == ""
             else os.environ["BENCH_FUSECONV"] == "1"):
-        frozen = builder.fuse_for_inference(frozen)
+        frozen = builder.fuse_for_inference(
+            frozen, unet=os.environ.get("BENCH_FUSE_UNET", "") == "1")
     schedule = DPMSolverSchedule()
     n_steps = int(os.environ.get("BENCH_INFER_STEPS",
                                  "2" if tiny else "30"))

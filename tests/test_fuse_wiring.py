@@ -3,10 +3,12 @@
 ops/fused_conv.py is pinned against a jnp reference in
 tests/test_fused_conv.py; these tests pin the PLUMBING: the
 OptimConfig.fuse_conv auto-resolution, the Coach's view swaps (training
-fuses only the stop-gradient VAE encode; inference paths fuse UNet+VAE
-via infer_frozen()), the mesh gate, and that a fused training run matches
-an unfused one (the kernel sits behind stop_gradient, so train dynamics
-must be unchanged up to elementwise rounding).
+fuses only the stop-gradient VAE encode; inference paths fuse the VAE
+via infer_frozen() — the UNet stays unfused everywhere, a measured
+in-program regression, builder.fuse_for_inference docstring), the mesh
+gate, and that a fused training run matches an unfused one (the kernel
+sits behind stop_gradient, so train dynamics must be unchanged up to
+elementwise rounding).
 """
 from pathlib import Path
 
@@ -50,8 +52,7 @@ class TestCoachFuseWiring:
         assert coach.built.frozen.vae.config.fuse_conv is False
         assert coach.infer_frozen() is coach.built.frozen
 
-    def test_forced_on_swaps_vae_for_training_and_both_for_inference(
-            self, tmp_path):
+    def test_forced_on_swaps_vae_views_only(self, tmp_path):
         from view_neti_tpu.training.coach import Coach
         coach = Coach(_cfg(tmp_path / "on", fuse_conv=True),
                       arch=builder.tiny_arch())
@@ -62,10 +63,15 @@ class TestCoachFuseWiring:
         assert coach.built.frozen.unet.config.fuse_conv is False
         inf = coach.infer_frozen()
         assert inf.vae.config.fuse_conv is True
-        assert inf.unet.config.fuse_conv is True
+        # UNet fusion in the denoise loop is a measured in-program LOSS
+        # (1.54 -> 1.76 s/img r5) — the default inference view keeps it off
+        assert inf.unet.config.fuse_conv is False
         # same arrays serve both views — module defs only
         assert inf.unet_vars is coach.built.frozen.unet_vars
         assert inf.vae_vars is coach.built.frozen.vae_vars
+        # the experiment lever still exists
+        exp = builder.fuse_for_inference(coach.built.frozen, unet=True)
+        assert exp.unet.config.fuse_conv is True
 
     def test_fused_training_matches_unfused(self, tmp_path):
         """The fused VAE encode sits behind stop_gradient; a fused run's

@@ -32,7 +32,11 @@ Kernel design (see /opt/skills/guides/pallas_guide.md):
     copies anywhere. fp32 accumulation; single-op epilogue.
   * forward-only (no custom VJP): gradients never flow through the frozen
     VAE (train_step.py wraps encode in stop_gradient) or through anything
-    at inference. The UNet keeps the unfused path when training.
+    at inference. The UNet keeps the unfused path EVERYWHERE: training
+    needs differentiability, and at inference fusing the UNet inside the
+    denoise fori_loop regressed the whole program despite standalone
+    per-site wins (1.54 -> 1.76 s/img measured r5; see
+    builder.fuse_for_inference). Shipped fusion surface = the VAE.
 
 Numerics match the unfused chain: fp32 GroupNorm statistics (ops/norm.py
 fold), normalize cast to the compute dtype BEFORE SiLU (same as

@@ -339,23 +339,32 @@ def resolve_fuse_conv(flag) -> bool:
     return not _default_interpret()
 
 
-def fuse_for_inference(frozen):
-    """A FrozenModels view whose UNet and VAE run the fused
+def fuse_for_inference(frozen, unet: bool = False):
+    """A FrozenModels view whose VAE (and optionally UNet) runs the fused
     norm+silu+conv3x3 Pallas kernel (ops/fused_conv.py).
 
     Param trees are identical between the fused and unfused modules, so
     the SAME unet_vars/vae_vars serve both — only the static module defs
     are swapped. The kernel is forward-only: use this view exclusively on
-    inference paths (the denoise loop, VAE decode, the validation sweep);
-    training keeps the differentiable unfused UNet."""
+    inference paths (the denoise loop, VAE decode, the validation sweep).
+
+    unet=False by default: fusing the UNet's conv blocks inside the
+    30-step denoise fori_loop REGRESSED whole-program inference on the
+    real chip (1.54 -> 1.76 s/img, 65.2 -> 56.9 TFLOP/s, r5) even though
+    the standalone per-site profile showed the 640-channel level winning
+    +11% (tools/profile_fused_conv.py) — and the fused validation sweep
+    failed to complete inside a 50-min budget. Pass unet=True only for
+    profiling experiments."""
     import dataclasses as _dc
-    unet = UNet2DCondition(
-        _dc.replace(frozen.unet.config, fuse_conv=True),
-        dtype=frozen.unet.dtype)
     vae = AutoencoderKL(
         _dc.replace(frozen.vae.config, fuse_conv=True),
         dtype=frozen.vae.dtype)
-    return _dc.replace(frozen, unet=unet, vae=vae)
+    out = _dc.replace(frozen, vae=vae)
+    if unet:
+        out = _dc.replace(out, unet=UNet2DCondition(
+            _dc.replace(frozen.unet.config, fuse_conv=True),
+            dtype=frozen.unet.dtype))
+    return out
 
 
 def fuse_vae_for_training(frozen):
