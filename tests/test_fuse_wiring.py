@@ -52,6 +52,7 @@ class TestCoachFuseWiring:
         assert coach.built.frozen.vae.config.fuse_conv is False
         assert coach.infer_frozen() is coach.built.frozen
 
+    @pytest.mark.quick
     def test_forced_on_swaps_vae_views_only(self, tmp_path):
         from view_neti_tpu.training.coach import Coach
         coach = Coach(_cfg(tmp_path / "on", fuse_conv=True),
