@@ -45,6 +45,13 @@ MEASURED_CEILING_HIGH_TFLOPS = 76.0
 MEASURED_CEILING_TFLOPS = 71.5  # midpoint, kept for the legacy scalar
 
 
+def _fuseconv_flag():
+    """Tri-state BENCH_FUSECONV: unset/'' -> None (auto: fuse on TPU),
+    '0'/'1' -> forced off/on. One parse shared by every bench mode."""
+    v = os.environ.get("BENCH_FUSECONV", "")
+    return None if v == "" else v == "1"
+
+
 def _metric_name():
     if os.environ.get("BENCH_VAL", "0") == "1":
         return "seconds for the full DTU validation sweep"
@@ -170,6 +177,12 @@ def main():
     built = builder.build_models(
         cfg, tok, view_tokens, ["<skull>"], arch=arch,
         compute_dtype=jnp.bfloat16, calibration_dir=caldir)
+    # same fused-VAE-encode policy as the E2E path (the Coach applies this
+    # via cfg.optim.fuse_conv; the raw path builds the step by hand), so
+    # the raw device-step record is reproducible and BENCH_FUSECONV works
+    # in every mode
+    if builder.resolve_fuse_conv(_fuseconv_flag()):
+        built.frozen = builder.fuse_vae_for_training(built.frozen)
 
     lr = scaled_learning_rate(1e-3, True, B, 3, 1)
     sched = make_lr_schedule("constant", lr, 0, 3000)
@@ -412,10 +425,7 @@ def _bench_e2e():
                       os.environ.get("BENCH_FUSE", "1") == "1",
                   # None = auto (fused VAE-encode Pallas blocks on TPU);
                   # BENCH_FUSECONV=0/1 forces for ablation
-                  "fuse_conv":
-                      (None
-                       if os.environ.get("BENCH_FUSECONV", "") == ""
-                       else os.environ["BENCH_FUSECONV"] == "1"),
+                  "fuse_conv": _fuseconv_flag(),
                   "steps_per_dispatch": int(os.environ.get("BENCH_SPD",
                                                            "0")),
                   "max_train_steps": -(steps // -4) * 4},
@@ -548,9 +558,7 @@ def _bench_infer():
     # (default: auto — on for TPU, VAE only; ops/fused_conv.py).
     # BENCH_FUSE_UNET=1 additionally fuses the UNet (measured loss r5 —
     # experiment lever only).
-    if builder.resolve_fuse_conv(
-            None if os.environ.get("BENCH_FUSECONV", "") == ""
-            else os.environ["BENCH_FUSECONV"] == "1"):
+    if builder.resolve_fuse_conv(_fuseconv_flag()):
         frozen = builder.fuse_for_inference(
             frozen, unet=os.environ.get("BENCH_FUSE_UNET", "") == "1")
     schedule = DPMSolverSchedule()
@@ -678,9 +686,7 @@ def _bench_val():
                                  arch=arch, compute_dtype=dtype,
                                  calibration_dir=caldir)
     frozen = built.frozen
-    if builder.resolve_fuse_conv(
-            None if os.environ.get("BENCH_FUSECONV", "") == ""
-            else os.environ["BENCH_FUSECONV"] == "1"):
+    if builder.resolve_fuse_conv(_fuseconv_flag()):
         frozen = builder.fuse_for_inference(
             frozen, unet=os.environ.get("BENCH_FUSE_UNET", "") == "1")
     schedule = DPMSolverSchedule()

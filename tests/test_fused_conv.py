@@ -89,6 +89,50 @@ def test_vmem_plan_gate():
             jnp.zeros((3, 3, 512, 512), jnp.float32))
 
 
+@pytest.mark.quick
+def test_fusable_policy_on_sd_transition_shapes():
+    """Channel-changing ResnetBlocks gate each conv on its OWN input
+    shape (the r5 review bug: conv2's gate evaluated with conv1's input).
+    Policy pins for the real SD sites where the two convs differ:"""
+    # UNet down 640->1280 transition: conv1 (640ch in) is the measured
+    # +11% regime; conv2 (1280ch in) is the measured-LOSS >=1280ch regime
+    assert fused_conv.profitable((2, 18, 24, 640), 1280)
+    assert not fused_conv.profitable((2, 18, 24, 1280), 1280)
+    # VAE encoder 128->256 transition at train batch 9: conv1 (128ch,
+    # B=9) is the measured-LOSS large-batch-128ch regime; conv2 (256ch)
+    # fuses
+    assert not fused_conv.profitable((9, 384, 512, 128), 256)
+    assert fused_conv.profitable((9, 384, 512, 256), 256)
+
+
+@pytest.mark.quick
+def test_per_conv_gating_in_channel_changing_block(monkeypatch):
+    """A VAE ResnetBlock crossing the policy boundary (128->256 at B=9)
+    must fuse ONLY conv2 (gated on its true 256-channel input) and still
+    match the unfused block bit-for-tolerance."""
+    from view_neti_tpu.models import vae as vae_mod
+    calls = []
+    real = fused_conv.fused_affine_silu_conv3x3
+
+    def spy(x, *a, **k):
+        calls.append(tuple(x.shape))
+        return real(x, *a, **k)
+
+    monkeypatch.setattr(fused_conv, "fused_affine_silu_conv3x3", spy)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(9, 8, 8, 128) * 0.5, jnp.float32)
+    blk_f = vae_mod.ResnetBlock(256, norm_groups=32, fuse=True)
+    blk_u = vae_mod.ResnetBlock(256, norm_groups=32, fuse=False)
+    v = blk_u.init(jax.random.PRNGKey(0), x)
+    calls.clear()
+    out_f = blk_f.apply(v, x)
+    assert calls == [(9, 8, 8, 256)], \
+        "conv1 (128ch@B=9) must fall back; conv2 (256ch) must fuse"
+    out_u = blk_u.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=0, atol=2e-4)
+
+
 def test_gn_fold_matches_normalize():
     from view_neti_tpu.ops.norm import FastGroupNorm
     rng = np.random.RandomState(2)

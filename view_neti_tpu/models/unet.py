@@ -105,14 +105,6 @@ class GroupNorm(nn.Module):
         return group_norm(self.groups, self.eps, self.dtype)(x, fold)
 
 
-def _fusable(x, cout: int, dtype, has_residual: bool = False) -> bool:
-    from view_neti_tpu.ops import fused_conv
-    return (fused_conv.profitable(x.shape, cout)
-            and fused_conv.supported(x.shape, cout,
-                                     jnp.dtype(dtype).itemsize,
-                                     has_residual))
-
-
 class ResnetBlock(nn.Module):
     out_channels: int
     norm_groups: int
@@ -121,39 +113,47 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
+        from view_neti_tpu.ops import fused_conv
         norm1 = GroupNorm(self.norm_groups, dtype=self.dtype, name="norm1")
         norm2 = GroupNorm(self.norm_groups, dtype=self.dtype, name="norm2")
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
-        if (self.fuse and _fusable(x, self.out_channels, self.dtype)
-                and _fusable(x, self.out_channels, self.dtype, True)):
-            from view_neti_tpu.ops import fused_conv
+        # Each conv gates INDEPENDENTLY on its own input shape: conv2 reads
+        # the (B, H, W, Cout) activation, which differs from conv1's input
+        # whenever the block changes channel count (e.g. the 640->1280 down
+        # block — fusing conv2 there is the measured-LOSS >=1280ch regime).
+        co = self.out_channels
+        shape2 = (x.shape[0], x.shape[1], x.shape[2], co)
+        fuse1 = self.fuse and fused_conv.fusable(x.shape, co, self.dtype)
+        fuse2 = self.fuse and fused_conv.fusable(shape2, co, self.dtype,
+                                                 has_residual=True)
+        if fuse1:
             a1, b1 = norm1(x, fold=True)
-            k1, c1 = fused_conv.Conv3x3Params(
-                self.out_channels, name="conv1")(x.shape[-1])
+            k1, c1 = fused_conv.Conv3x3Params(co, name="conv1")(x.shape[-1])
             h = fused_conv.fused_affine_silu_conv3x3(
                 x, a1, b1, k1.astype(self.dtype), c1.astype(self.dtype),
                 add_bc=t, out_dtype=self.dtype)
+        else:
+            h = norm1(x)
+            h = nn.silu(h)
+            h = nn.Conv(co, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv1")(h)
+            h = h + t[:, None, None, :]
+        if fuse2:
             a2, b2 = norm2(h, fold=True)
-            k2, c2 = fused_conv.Conv3x3Params(
-                self.out_channels, name="conv2")(h.shape[-1])
-            if x.shape[-1] != self.out_channels:
-                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            k2, c2 = fused_conv.Conv3x3Params(co, name="conv2")(h.shape[-1])
+            if x.shape[-1] != co:
+                x = nn.Conv(co, (1, 1), dtype=self.dtype,
                             name="conv_shortcut")(x)
             return fused_conv.fused_affine_silu_conv3x3(
                 h, a2, b2, k2.astype(self.dtype), c2.astype(self.dtype),
                 residual=x, out_dtype=self.dtype)
-        h = norm1(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
-        h = h + t[:, None, None, :]
         h = norm2(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = nn.Conv(co, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
-        if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+        if x.shape[-1] != co:
+            x = nn.Conv(co, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)
         return x + h
 

@@ -55,14 +55,6 @@ class GroupNorm(nn.Module):
         return group_norm(self.groups, 1e-6, self.dtype)(x, fold)
 
 
-def _fusable(x, cout: int, dtype, has_residual: bool = False) -> bool:
-    from view_neti_tpu.ops import fused_conv
-    return (fused_conv.profitable(x.shape, cout)
-            and fused_conv.supported(x.shape, cout,
-                                     jnp.dtype(dtype).itemsize,
-                                     has_residual))
-
-
 class ResnetBlock(nn.Module):
     out_channels: int
     norm_groups: int = 32
@@ -71,36 +63,44 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from view_neti_tpu.ops import fused_conv
         norm1 = GroupNorm(self.norm_groups, self.dtype, name="norm1")
         norm2 = GroupNorm(self.norm_groups, self.dtype, name="norm2")
-        if (self.fuse and _fusable(x, self.out_channels, self.dtype)
-                and _fusable(x, self.out_channels, self.dtype, True)):
-            from view_neti_tpu.ops import fused_conv
+        # Per-conv gating on each conv's OWN input shape: conv2 reads the
+        # (B, H, W, Cout) activation, so in channel-changing blocks (the
+        # encoder 128->256 / 256->512 levels) the two convs can land on
+        # different sides of the measured profitability policy.
+        co = self.out_channels
+        shape2 = (x.shape[0], x.shape[1], x.shape[2], co)
+        fuse1 = self.fuse and fused_conv.fusable(x.shape, co, self.dtype)
+        fuse2 = self.fuse and fused_conv.fusable(shape2, co, self.dtype,
+                                                 has_residual=True)
+        if fuse1:
             a1, b1 = norm1(x, fold=True)
-            k1, c1 = fused_conv.Conv3x3Params(
-                self.out_channels, name="conv1")(x.shape[-1])
+            k1, c1 = fused_conv.Conv3x3Params(co, name="conv1")(x.shape[-1])
             h = fused_conv.fused_affine_silu_conv3x3(
                 x, a1, b1, k1.astype(self.dtype), c1.astype(self.dtype),
                 out_dtype=self.dtype)
+        else:
+            h = norm1(x)
+            h = nn.silu(h)
+            h = nn.Conv(co, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv1")(h)
+        if fuse2:
             a2, b2 = norm2(h, fold=True)
-            k2, c2 = fused_conv.Conv3x3Params(
-                self.out_channels, name="conv2")(h.shape[-1])
-            if x.shape[-1] != self.out_channels:
-                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            k2, c2 = fused_conv.Conv3x3Params(co, name="conv2")(h.shape[-1])
+            if x.shape[-1] != co:
+                x = nn.Conv(co, (1, 1), dtype=self.dtype,
                             name="shortcut")(x)
             return fused_conv.fused_affine_silu_conv3x3(
                 h, a2, b2, k2.astype(self.dtype), c2.astype(self.dtype),
                 residual=x, out_dtype=self.dtype)
-        h = norm1(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
         h = norm2(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = nn.Conv(co, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
-        if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+        if x.shape[-1] != co:
+            x = nn.Conv(co, (1, 1), dtype=self.dtype,
                         name="shortcut")(x)
         return x + h
 
@@ -154,9 +154,9 @@ class Encoder(nn.Module):
         h = ResnetBlock(mid_ch, cfg.norm_groups, self.dtype, cfg.fuse_conv,
                         name="mid_block_2")(h)
         norm_out = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")
+        from view_neti_tpu.ops import fused_conv
         mo_ch = 2 * cfg.latent_channels
-        if cfg.fuse_conv and _fusable(h, mo_ch, self.dtype):
-            from view_neti_tpu.ops import fused_conv
+        if cfg.fuse_conv and fused_conv.fusable(h.shape, mo_ch, self.dtype):
             a, b = norm_out(h, fold=True)
             k, c = fused_conv.Conv3x3Params(mo_ch, name="conv_out")(
                 h.shape[-1])
@@ -202,9 +202,10 @@ class Decoder(nn.Module):
                 h = nearest_upsample_2x(h)
                 h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
+        from view_neti_tpu.ops import fused_conv
         norm_out = GroupNorm(cfg.norm_groups, self.dtype, name="norm_out")
-        if cfg.fuse_conv and _fusable(h, cfg.in_channels, self.dtype):
-            from view_neti_tpu.ops import fused_conv
+        if cfg.fuse_conv and fused_conv.fusable(h.shape, cfg.in_channels,
+                                                self.dtype):
             a, b = norm_out(h, fold=True)
             k, c = fused_conv.Conv3x3Params(cfg.in_channels,
                                             name="conv_out")(h.shape[-1])

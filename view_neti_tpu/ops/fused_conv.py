@@ -85,8 +85,6 @@ def _plan(H: int, W: int, Cin: int, Cout: int, itemsize: int,
                      if Cout % d == 0 and (d % 128 == 0 or d == Cout)]
     for bh_target in (32, 16, 8, 4, 2, 1):
         bh = _divisor_at_most(H, bh_target)
-        if bh > bh_target:
-            continue
         slab = (bh + 2) * W * Cin * itemsize
         rows = 3 * W * Cin * 4            # fp32 affine/SiLU row transients
         for ct in ct_candidates:
@@ -162,6 +160,17 @@ def supported(x_shape, cout: int, itemsize: int = 2,
         return False
     return _plan(H, W, Cin, cout, itemsize,
                  itemsize if has_residual else 0) is not None
+
+
+def fusable(x_shape, cout: int, dtype, has_residual: bool = False) -> bool:
+    """The ONE gate model code should use per norm->silu->conv3x3 site:
+    measured profitability (profitable) AND a VMEM-feasible aligned plan
+    (supported) for THIS site's input shape. Each conv in a ResnetBlock
+    gates independently — conv2's input is (B, H, W, Cout), which differs
+    from conv1's whenever the block changes channel count."""
+    return (profitable(x_shape, cout)
+            and supported(x_shape, cout, jnp.dtype(dtype).itemsize,
+                          has_residual))
 
 
 def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, add_ref, res_ref,

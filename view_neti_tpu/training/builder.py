@@ -368,15 +368,11 @@ def fuse_for_inference(frozen, unet: bool = False):
 
 
 def fuse_vae_for_training(frozen):
-    """A FrozenModels view with only the VAE fused: the train step's VAE
-    encode is wrapped in stop_gradient (train_step.py:150), so the
-    forward-only kernel is safe there while the UNet stays
-    differentiable."""
-    import dataclasses as _dc
-    vae = AutoencoderKL(
-        _dc.replace(frozen.vae.config, fuse_conv=True),
-        dtype=frozen.vae.dtype)
-    return _dc.replace(frozen, vae=vae)
+    """A FrozenModels view with only the VAE fused — the same view
+    fuse_for_inference builds by default. The train step's VAE encode is
+    wrapped in stop_gradient (train_step.py:150), so the forward-only
+    kernel is safe there while the UNet stays differentiable."""
+    return fuse_for_inference(frozen)
 
 
 def trainable_mask_keys(mode: int) -> Tuple[tuple, tuple]:

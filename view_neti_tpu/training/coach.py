@@ -233,7 +233,9 @@ class Coach:
         # ---- fused conv (TPU, single-device): swap in the forward-only
         # Pallas GN+SiLU+conv3x3 views (ops/fused_conv.py). Training fuses
         # ONLY the stop-gradient VAE encode (the UNet stays
-        # differentiable); inference paths get both via infer_frozen().
+        # differentiable); inference paths fuse the VAE too, via
+        # infer_frozen() (fusing the UNet in the denoise loop is a
+        # measured whole-program LOSS — builder.fuse_for_inference).
         # Param trees are identical, so checkpoints / the weight port are
         # unaffected. Gated off under a mesh: the SPMD partitioner has no
         # partitioning rule for Mosaic custom calls, so a sharded jit
@@ -662,9 +664,11 @@ class Coach:
 
     def infer_frozen(self):
         """FrozenModels view for inference paths (validation sweeps,
-        prompt sheets, DTU renders): fused UNet+VAE Pallas conv blocks
-        when fuse_conv resolved on, else the plain frozen stack. Module
-        defs only — the same unet_vars/vae_vars arrays serve both."""
+        prompt sheets, DTU renders): fused VAE Pallas conv blocks when
+        fuse_conv resolved on (the UNet stays UNFUSED — a measured
+        whole-program loss, see builder.fuse_for_inference), else the
+        plain frozen stack. Module defs only — the same
+        unet_vars/vae_vars arrays serve both."""
         if not self.fuse_conv:
             return self.built.frozen
         return builder.fuse_for_inference(self.built.frozen)
