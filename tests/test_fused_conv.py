@@ -133,6 +133,34 @@ def test_per_conv_gating_in_channel_changing_block(monkeypatch):
                                rtol=0, atol=2e-4)
 
 
+def test_per_conv_gating_in_unet_transition_block(monkeypatch):
+    """UNet-side mirror of the channel-crossing gate: a 256->768 block
+    fuses conv1 (256ch, measured-win regime) but must NOT fuse conv2
+    (768ch input > the 640ch policy ceiling)."""
+    from view_neti_tpu.models import unet as unet_mod
+    calls = []
+    real = fused_conv.fused_affine_silu_conv3x3
+
+    def spy(x, *a, **k):
+        calls.append(tuple(x.shape))
+        return real(x, *a, **k)
+
+    monkeypatch.setattr(fused_conv, "fused_affine_silu_conv3x3", spy)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 4, 4, 256) * 0.5, jnp.float32)
+    temb = jnp.asarray(rng.randn(1, 32), jnp.float32)
+    blk_u = unet_mod.ResnetBlock(768, norm_groups=32, fuse=False)
+    blk_f = unet_mod.ResnetBlock(768, norm_groups=32, fuse=True)
+    v = blk_u.init(jax.random.PRNGKey(0), x, temb)
+    calls.clear()
+    out_f = blk_f.apply(v, x, temb)
+    assert calls == [(1, 4, 4, 256)], \
+        "conv1 (256ch) fuses; conv2 (768ch > 640 policy ceiling) must not"
+    out_u = blk_u.apply(v, x, temb)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=0, atol=2e-4)
+
+
 def test_gn_fold_matches_normalize():
     from view_neti_tpu.ops.norm import FastGroupNorm
     rng = np.random.RandomState(2)
