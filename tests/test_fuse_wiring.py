@@ -43,6 +43,27 @@ def test_resolve_fuse_conv_auto_tracks_backend():
     assert builder.resolve_fuse_conv(False) is False
 
 
+@pytest.mark.quick
+def test_training_and_inference_fuse_views_agree():
+    """fuse_vae_for_training delegates to fuse_for_inference — the two
+    code paths must hand out the SAME VAE-only fused view (a divergence
+    here would silently train and validate through different kernels)."""
+    import dataclasses
+    from view_neti_tpu.training.train_step import FrozenModels
+    from view_neti_tpu.models.vae import AutoencoderKL, tiny_vae_config
+    from view_neti_tpu.models.unet import UNet2DCondition, tiny_unet_config
+
+    frozen = FrozenModels(
+        text=None, unet=UNet2DCondition(tiny_unet_config()),
+        vae=AutoencoderKL(tiny_vae_config()))
+    a = builder.fuse_vae_for_training(frozen)
+    b = builder.fuse_for_inference(frozen)
+    assert a.vae.config == b.vae.config
+    assert a.vae.config.fuse_conv is True
+    assert a.unet.config == b.unet.config
+    assert a.unet.config.fuse_conv is False
+
+
 @pytest.mark.skipif(not TEAPOT.exists(), reason="bundled data missing")
 class TestCoachFuseWiring:
     def test_auto_off_on_cpu_keeps_unfused_views(self, tmp_path):
