@@ -707,22 +707,32 @@ def _bench_val():
 
     ctx_by_width = {}   # width -> (ctx, ctx_b), for the AOT FLOPs report
 
-    def gen_chunk(chunk):
+    def gen_chunk(chunk, as_numpy=True):
         ctx, ctx_b = pm.embed_prompts(
             [f"{lookup_tok[ci]}. A photo of a <skull>" for ci in chunk])
         ctx_by_width[len(chunk)] = (ctx, ctx_b)
         return generate_batch(
             frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
             schedule, ctx, ctx_b, uncond, H, W, seeds,
-            n_steps, 7.5, dtype, denoise_fn=denoise)
+            n_steps, 7.5, dtype, denoise_fn=denoise, as_numpy=as_numpy)
 
     def sweep():
+        # one-deep pipeline, mirroring dtu_generate_camidxs_to_preds: the
+        # next chunk's denoise is enqueued before this chunk's uint8 fetch
         imgs = {}
+        pending = None
+        def drain(p):
+            out = np.asarray(p[1])
+            for j, ci in enumerate(p[0]):
+                imgs[ci] = out[j]
         for s in range(0, len(cam_idxs), vb):
             chunk = cam_idxs[s:s + vb]
-            out = gen_chunk(chunk)
-            for j, ci in enumerate(chunk):
-                imgs[ci] = out[j]
+            dev = gen_chunk(chunk, as_numpy=False)
+            if pending is not None:
+                drain(pending)
+            pending = (chunk, dev)
+        if pending is not None:
+            drain(pending)
         return imgs
 
     # warmup: compile PromptManager + the denoise/decode jits for EVERY

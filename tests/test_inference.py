@@ -266,3 +266,11 @@ class TestBatchedGeneration:
         assert batched.shape == (2, 2, 16, 16, 3)
         for ci in range(2):
             np.testing.assert_array_equal(batched[ci], singles[ci])
+        # as_numpy=False (the r5 sweep-pipelining path) hands back the SAME
+        # images as an on-device array — the fetch is merely deferred
+        deferred = generate_batch(frozen.unet, frozen.unet_vars,
+                                  frozen.vae, frozen.vae_vars, schedule,
+                                  contexts, contexts_b, uncond, 16, 16,
+                                  [0, 1], n_steps, as_numpy=False)
+        assert not isinstance(deferred, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(deferred), batched)

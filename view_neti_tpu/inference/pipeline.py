@@ -100,10 +100,12 @@ def generate(unet, unet_vars, vae, vae_vars, schedule: DPMSolverSchedule,
              seeds, num_inference_steps: int = 30,
              guidance_scale: float = 7.5,
              compute_dtype=jnp.float32,
-             denoise_fn=None) -> np.ndarray:
+             denoise_fn=None, as_numpy: bool = True) -> np.ndarray:
     """Full text-to-image generation. Returns (S, H, W, 3) uint8 images,
     one per seed (reference eval protocol: fixed seeds per view,
-    validate.py / inference_dtu.py)."""
+    validate.py / inference_dtu.py). as_numpy=False defers the host fetch
+    (returns the on-device array) so multi-prompt sweeps can overlap it
+    with the next prompt's denoise — see generate_batch."""
     from view_neti_tpu.models.vae import AutoencoderKL
     if denoise_fn is None:
         denoise_fn = make_denoise_fn(unet, unet_vars, schedule,
@@ -118,8 +120,8 @@ def generate(unet, unet_vars, vae, vae_vars, schedule: DPMSolverSchedule,
         for s in seeds])
     latents = denoise_fn(lat0, unet_vars, context, context_bypass,
                          uncond_ctx)
-    return np.asarray(_decode_jit(vae, vae_vars,
-                                  latents.astype(compute_dtype)))
+    dev = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))
+    return np.asarray(dev) if as_numpy else dev
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -141,10 +143,18 @@ def generate_batch(unet, unet_vars, vae, vae_vars,
                    seeds, num_inference_steps: int = 30,
                    guidance_scale: float = 7.5,
                    compute_dtype=jnp.float32,
-                   denoise_fn=None, mesh=None) -> np.ndarray:
+                   denoise_fn=None, mesh=None,
+                   as_numpy: bool = True) -> np.ndarray:
     """Batched multi-prompt generation: contexts (T, 16, C, L, D) carries C
     prompts (e.g. C camera views); all C x len(seeds) images denoise in ONE
     jitted loop. Returns (C, S, H, W, 3) uint8.
+
+    as_numpy=False returns the ON-DEVICE uint8 array instead of fetching:
+    every dispatch here is async, so a multi-chunk sweep can enqueue the
+    next chunk's conditioning+denoise BEFORE materializing this chunk's
+    images — the ~0.16 s/chunk host fetch over the tunnel then overlaps
+    device compute instead of idling it (see
+    inference_dtu.dtu_generate_camidxs_to_preds).
 
     Seed semantics match the reference protocol: seed s produces the same
     initial latents for every prompt (reference inference_dtu.py:354-356
@@ -173,9 +183,9 @@ def generate_batch(unet, unet_vars, vae, vae_vars,
         lat0 = jax.device_put(lat0, NamedSharding(mesh, P("dp")))
     latents = denoise_fn(lat0, unet_vars, contexts, contexts_bypass,
                          uncond_ctx)
-    imgs = np.asarray(_decode_jit(vae, vae_vars,
-                                  latents.astype(compute_dtype)))
-    return imgs.reshape(C, S, *imgs.shape[1:])
+    dev = _decode_jit(vae, vae_vars, latents.astype(compute_dtype))
+    dev = dev.reshape(C, S, *dev.shape[1:])
+    return np.asarray(dev) if as_numpy else dev
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -366,6 +366,17 @@ def dtu_generate_camidxs_to_preds(
                               coach.compute_dtype, mesh=mesh)
     out: Dict[int, np.ndarray] = {}
     camidx_to_token = {i: t for i, t in lookup_tok.items()}
+    # One-deep software pipeline (r5): dispatch chunk i+1's conditioning +
+    # denoise BEFORE fetching chunk i's images. All device work is async,
+    # so the ~0.16 s/chunk uint8 fetch over the tunnel overlaps the next
+    # chunk's denoise instead of idling the chip (the reference fetches
+    # synchronously per view, inference_dtu.py:246-260 — one GPU, no
+    # tunnel, nothing to overlap).
+    pending = None                        # (chunk, on-device images)
+    def _drain(p):
+        imgs = np.asarray(p[1])
+        for ci, cam_idx in enumerate(p[0]):
+            out[cam_idx] = imgs[ci]       # (n_seeds, H, W, 3) uint8
     for start in range(0, len(cam_idxs), vb):
         chunk = list(cam_idxs[start:start + vb])
         prompts = [f"{camidx_to_token[ci]}. A photo of a {object_token}"
@@ -375,12 +386,15 @@ def dtu_generate_camidxs_to_preds(
         contexts, contexts_b = pm.embed_prompts(prompts,
                                                 object_idx=object_idx)
         full = len(chunk) == vb
-        imgs = generate_batch(
+        dev_imgs = generate_batch(
             frozen.unet, frozen.unet_vars, frozen.vae, frozen.vae_vars,
             schedule, contexts, contexts_b, uncond, height, width, seeds,
             num_denoising_steps, guidance_scale, coach.compute_dtype,
             denoise_fn=denoise if full else None,
-            mesh=mesh if full else None)
-        for ci, cam_idx in enumerate(chunk):
-            out[cam_idx] = imgs[ci]  # (n_seeds, H, W, 3) uint8
+            mesh=mesh if full else None, as_numpy=False)
+        if pending is not None:
+            _drain(pending)
+        pending = (chunk, dev_imgs)
+    if pending is not None:
+        _drain(pending)
     return out

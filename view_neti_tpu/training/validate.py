@@ -138,15 +138,23 @@ class ValidationHandler:
         denoise = make_denoise_fn(frozen.unet, frozen.unet_vars, schedule,
                                   num_steps, 7.5, coach.compute_dtype)
         token = coach.placeholder_object_tokens[0]
-        rows = []
+        # one-deep pipeline (r5): enqueue the next prompt's denoise before
+        # fetching this prompt's images (see inference_dtu sweep loop)
+        rows, pending = [], None
         for prompt_tmpl in cfg.eval.validation_prompts:
             prompt = prompt_tmpl.format(token)
             ctx, ctx_b = pm.embed_prompt(prompt)
-            imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
-                            frozen.vae_vars, schedule, ctx, ctx_b, uncond,
-                            res, res, cfg.eval.validation_seeds, num_steps,
-                            7.5, coach.compute_dtype, denoise_fn=denoise)
-            rows.append(np.concatenate(list(imgs), axis=1))
+            dev = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b, uncond,
+                           res, res, cfg.eval.validation_seeds, num_steps,
+                           7.5, coach.compute_dtype, denoise_fn=denoise,
+                           as_numpy=False)
+            if pending is not None:
+                rows.append(np.concatenate(list(np.asarray(pending)),
+                                           axis=1))
+            pending = dev
+        if pending is not None:
+            rows.append(np.concatenate(list(np.asarray(pending)), axis=1))
         sheet = to_pil(np.concatenate(rows, axis=0).astype(np.uint8))
         out_path = Path(cfg.log.exp_dir) / f"val-images-{step}.png"
         sheet.save(out_path)
@@ -369,7 +377,9 @@ class ValidationHandler:
         res = 512 if cfg.data.dtu_preprocess_key != -1 else 32
         denoise = make_denoise_fn(frozen.unet, None, schedule, num_steps,
                                   7.5, coach.compute_dtype)
-        rows = []
+        # one-deep pipeline (r5): enqueue the next prompt's denoise before
+        # fetching this prompt's images (see inference_dtu sweep loop)
+        rows, pending = [], None
         for prompt in prompts:
             # resolve the mode-3 mapper slice by exact TOKEN ID membership
             # (substring matching misfires on nested token texts, e.g.
@@ -386,12 +396,18 @@ class ValidationHandler:
                     object_idx = i
                     break
             ctx, ctx_b = pm.embed_prompt(prompt, object_idx=object_idx)
-            imgs = generate(frozen.unet, frozen.unet_vars, frozen.vae,
-                            frozen.vae_vars, schedule, ctx, ctx_b,
-                            uncond, res, res,
-                            cfg.eval.validation_seeds, num_steps, 7.5,
-                            coach.compute_dtype, denoise_fn=denoise)
-            rows.append(np.concatenate(list(imgs), axis=1))
+            dev = generate(frozen.unet, frozen.unet_vars, frozen.vae,
+                           frozen.vae_vars, schedule, ctx, ctx_b,
+                           uncond, res, res,
+                           cfg.eval.validation_seeds, num_steps, 7.5,
+                           coach.compute_dtype, denoise_fn=denoise,
+                           as_numpy=False)
+            if pending is not None:
+                rows.append(np.concatenate(list(np.asarray(pending)),
+                                           axis=1))
+            pending = dev
+        if pending is not None:
+            rows.append(np.concatenate(list(np.asarray(pending)), axis=1))
         sheet = to_pil(np.concatenate(rows, axis=0))
         sheet.save(out_path)
         coach.logger.log_message(f"saved {tag} sheet {out_path}")
